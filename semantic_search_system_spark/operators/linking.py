@@ -1,0 +1,84 @@
+"""Entity/phrase linking: blocked similarity self-join → candidate edge list.
+
+The reference delegates kNN to OpenSearch HNSW (utils/create_vector_index.py:16-21)
+and clusters phrases wholesale in driver memory (topic_modeling.py:31-36).
+Neither survives 10^12 docs. The scalable pattern (SURVEY.md §2.3 J7, PAPERS.md
+set-similarity-join literature) is:
+
+    1. assign each item a BLOCKING KEY (first token of the normalized phrase) —
+       only items sharing a block are candidate pairs;
+    2. SALT hot blocks: a block whose size exceeds ``hot_block_limit`` is split
+       into ``n_salt`` sub-blocks on both join sides (one side replicated) so a
+       single hot key ('larson', 'connecticut', 'hotterm') cannot pin one task;
+    3. equi-join on the (block, salt) key — a shuffle hash/sort-merge join that
+       partitions evenly — then exact cosine filter at PHRASE_SIM_THRESHOLD.
+
+Produces the undirected candidate edge list consumed by connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import spec
+from ..functions.text import normalize_key_col
+from ..functions.vectors import dot
+
+
+def with_block_key(df: DataFrame, phrase_col: str = "phrase") -> DataFrame:
+    norm = normalize_key_col(phrase_col)
+    return df.withColumn("phrase_norm", norm).withColumn(
+        "block", F.split(norm, " ").getItem(0)
+    )
+
+
+def candidate_edges(
+    phrases: DataFrame,
+    phrase_col: str = "phrase",
+    vec_col: str = "embedding",
+    threshold: float = spec.PHRASE_SIM_THRESHOLD,
+    n_salt: int = 8,
+    hot_block_limit: int = 1024,
+) -> DataFrame:
+    """phrases(phrase, embedding[unit-norm]) → edges(src, dst) where cosine ≥ τ.
+
+    Self-join is deduplicated by requiring src < dst; unit-norm inputs make the
+    dot product the cosine. Hot blocks are salted: left side gets a hash salt,
+    right side is exploded across all salt values for hot blocks only, so the
+    pair coverage is exact while the shuffle key cardinality grows by n_salt
+    for precisely the skewed keys.
+    """
+    items = (
+        with_block_key(phrases, phrase_col)
+        # cast to double BEFORE the dot product: float32 products would round
+        # differently from the float64 golden oracle near the threshold
+        .select("phrase_norm", "block", F.col(vec_col).cast("array<double>").alias("vec"))
+        .dropDuplicates(["phrase_norm"])
+    )
+    sizes = items.groupBy("block").agg(F.count("*").alias("block_n"))
+    items = items.join(F.broadcast(sizes), "block")
+    hot = F.col("block_n") > hot_block_limit
+
+    left = items.withColumn(
+        "salt",
+        F.when(hot, F.pmod(F.xxhash64("phrase_norm"), F.lit(n_salt))).otherwise(F.lit(0)),
+    ).select("block", "salt", F.col("phrase_norm").alias("src"), F.col("vec").alias("lvec"))
+    right = items.withColumn(
+        "salt",
+        F.explode(
+            F.when(hot, F.sequence(F.lit(0), F.lit(n_salt - 1))).otherwise(F.array(F.lit(0)))
+        ),
+    ).select(
+        "block",
+        F.col("salt").cast("long").alias("salt"),
+        F.col("phrase_norm").alias("dst"),
+        F.col("vec").alias("rvec"),
+    )
+
+    pairs = left.join(right, ["block", "salt"]).where(F.col("src") < F.col("dst"))
+    return (
+        pairs.withColumn("sim", dot("lvec", "rvec"))
+        .where(F.col("sim") >= F.lit(float(threshold)))
+        .select("src", "dst", "sim")
+    )

@@ -1,0 +1,219 @@
+"""The end-to-end knowledge-graph construction pipeline.
+
+Reference flow reproduced (SURVEY.md §3.1/§3.3): ingest → NLP enrichment
+(entities/topics/summary/embedding) → phrase canonicalization → triple set →
+node/edge graph tables. The reference does this as sequential per-document
+network calls (pr_aws_nlp.py:230-277) plus one Neo4j transaction per
+(topic, doc) pair (knowledge_graph.py:176); here every stage is one declarative
+DataFrame transform, checkpointed per partition through the Catalog so a killed
+run resumes without recomputing completed buckets.
+
+Stages (each a Catalog table under <out_root>):
+  enriched   doc_id, url, title, doc_date, content, summary,
+             entities/topics array<struct<text,label>>, embedding[256],
+             media_refs — the PR_META_VECTOR_IDX analog
+  topic_map  phrase_norm → broad_topic (canonicalization output; the
+             topic_mapping.json analog, 80-topic clustering at reference scale)
+  triples    subj, pred, obj — (doc MENTIONS entity), (doc HAS_TOPIC topic),
+             (broad_topic RELATES_TO_DOC doc)
+  nodes      node_id, kind, name, url, title, media_refs
+  edges      src, dst, rel, weight
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import spec
+from ..catalog import BUCKET_COL, Catalog, with_bucket
+from ..fixtures.interleave import interleaved_path
+from ..operators.components import connected_components
+from ..operators.embedding import embed_udf, with_embedding
+from ..operators.extraction import assemble_content, extract_entities_topics
+from ..operators.linking import candidate_edges
+
+N_BUCKETS = 8
+
+
+def read_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(interleaved_path(sf_dir))
+
+
+# --------------------------------------------------------------------- stage 1
+def build_enriched(spark: SparkSession, sf_dir: str, cat: Catalog, n_buckets: int = N_BUCKETS) -> DataFrame:
+    pending = cat.pending_buckets("enriched", n_buckets)
+    if pending:
+        docs = with_bucket(read_interleaved(spark, sf_dir), "doc_id", n_buckets)
+        docs = docs.where(F.col(BUCKET_COL).isin(pending))
+        enriched = extract_entities_topics(with_embedding(assemble_content(docs)))
+        enriched = enriched.select(
+            BUCKET_COL, "doc_id", "url", "title", "doc_date", "content", "summary",
+            "entities", "topics", "embedding", "media_refs",
+        )
+        cat.commit_partitions(enriched, "enriched", stage="enrich")
+    return cat.read(spark, "enriched")
+
+
+# --------------------------------------------------------------------- stage 2
+def _label_components(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-component centroid labeling (applyInPandas GROUPED_MAP).
+
+    MUST match fixtures/golden.py exactly: members sorted lexicographically,
+    float32 centroid via np.mean over the stacked (sorted) members, per-member
+    float32 np.dot, argmax with lexicographic tie-break
+    (reference: get_cluster_label_by_centroid, topic_modeling.py:48-66).
+    """
+    pdf = pdf.sort_values("phrase_norm").reset_index(drop=True)
+    vecs = [np.asarray(v, dtype=np.float32) for v in pdf["vec"]]
+    centroid = np.mean(np.stack(vecs), axis=0)
+    sims = [float(np.dot(v, centroid)) for v in vecs]
+    best = min(range(len(pdf)), key=lambda i: (-sims[i], pdf["phrase_norm"].iat[i]))
+    return pd.DataFrame(
+        {"phrase_norm": pdf["phrase_norm"], "broad_topic": pdf["phrase_norm"].iat[best]}
+    )
+
+
+def build_topic_map(spark: SparkSession, cat: Catalog, enriched: DataFrame) -> DataFrame:
+    """Canonicalize topic phrases: embed → blocked similarity join → connected
+    components → centroid labels. The topic_mapping.json analog."""
+    if not cat.exists("topic_map"):
+        phrases = (
+            enriched.select(F.explode("topics").alias("t"))
+            .select(F.lower(F.trim(F.col("t.text"))).alias("phrase_norm"))
+            .where(F.col("phrase_norm") != "")
+            .distinct()
+            .withColumn("embedding", embed_udf(F.col("phrase_norm")))
+        )
+        # phrase vocabulary is tiny relative to the corpus (sub-linear growth) —
+        # cache across the edges + labeling + join uses
+        phrases = phrases.localCheckpoint(eager=True)
+        edges = candidate_edges(phrases, "phrase_norm", "embedding")
+        comps = connected_components(edges)  # (node, component) — only non-isolated
+        labeled = (
+            phrases.join(comps, phrases["phrase_norm"] == comps["node"], "left")
+            .withColumn("component", F.coalesce(F.col("component"), F.col("phrase_norm")))
+            .select("phrase_norm", "component", F.col("embedding").alias("vec"))
+            .groupBy("component")
+            .applyInPandas(_label_components, schema="phrase_norm string, broad_topic string")
+        )
+        cat.commit_partitions(
+            with_bucket(labeled, "phrase_norm", 1), "topic_map", stage="canonicalize"
+        )
+    return cat.read(spark, "topic_map")
+
+
+# --------------------------------------------------------------------- stage 3
+def build_triples(
+    spark: SparkSession, cat: Catalog, enriched: DataFrame, topic_map: DataFrame,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    pending = cat.pending_buckets("triples", n_buckets)
+    if pending:
+        part = enriched.where(F.col(BUCKET_COL).isin(pending))
+        mentions = part.select(
+            BUCKET_COL,
+            F.col("doc_id").alias("subj"),
+            F.lit(spec.PRED_MENTIONS).alias("pred"),
+            F.explode(F.transform("entities", lambda e: F.lower(F.trim(e["text"])))).alias("obj"),
+        )
+        doc_topics = part.select(
+            BUCKET_COL,
+            "doc_id",
+            F.explode(F.transform("topics", lambda t: F.lower(F.trim(t["text"])))).alias("phrase_norm"),
+        )
+        has_topic = doc_topics.select(
+            BUCKET_COL,
+            F.col("doc_id").alias("subj"),
+            F.lit(spec.PRED_HAS_TOPIC).alias("pred"),
+            F.col("phrase_norm").alias("obj"),
+        )
+        # topic_map is small (vocabulary-sized) → broadcast; the MERGE-per-pair
+        # loop of knowledge_graph.py:151-189 becomes one broadcast join + dedup
+        relates = (
+            doc_topics.join(F.broadcast(topic_map.select("phrase_norm", "broad_topic")), "phrase_norm")
+            .select(
+                BUCKET_COL,
+                F.col("broad_topic").alias("subj"),
+                F.lit(spec.PRED_RELATES).alias("pred"),
+                F.col("doc_id").alias("obj"),
+            )
+        )
+        triples = mentions.unionByName(has_topic).unionByName(relates).dropDuplicates(
+            ["subj", "pred", "obj"]
+        )
+        cat.commit_partitions(triples, "triples", stage="triples")
+    return cat.read(spark, "triples")
+
+
+# --------------------------------------------------------------------- stage 4
+def build_graph(
+    spark: SparkSession, cat: Catalog, enriched: DataFrame, triples: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize deduplicated node/edge tables (the Neo4j model of
+    knowledge_graph.py:113-126 as two columnar tables; SURVEY.md §1.2)."""
+    if not cat.exists("nodes"):
+        doc_nodes = enriched.select(
+            F.col("doc_id").alias("node_id"),
+            F.lit("Document").alias("kind"),
+            F.col("doc_id").alias("name"),
+            "url",
+            "title",
+            "media_refs",
+        )
+        entity_nodes = (
+            triples.where(F.col("pred") == spec.PRED_MENTIONS)
+            .select(F.col("obj").alias("node_id"))
+            .distinct()
+            .select(
+                "node_id",
+                F.lit("Entity").alias("kind"),
+                F.col("node_id").alias("name"),
+                F.lit(None).cast("string").alias("url"),
+                F.lit(None).cast("string").alias("title"),
+                F.lit(None).cast("array<string>").alias("media_refs"),
+            )
+        )
+        topic_nodes = (
+            triples.where(F.col("pred") == spec.PRED_RELATES)
+            .select(F.col("subj").alias("node_id"))
+            .distinct()
+            .select(
+                "node_id",
+                F.lit("BroadTopic").alias("kind"),
+                F.col("node_id").alias("name"),
+                F.lit(None).cast("string").alias("url"),
+                F.lit(None).cast("string").alias("title"),
+                F.lit(None).cast("array<string>").alias("media_refs"),
+            )
+        )
+        nodes = doc_nodes.unionByName(entity_nodes).unionByName(topic_nodes).dropDuplicates(
+            ["kind", "node_id"]
+        )
+        cat.commit_partitions(with_bucket(nodes, "node_id", N_BUCKETS), "nodes", stage="graph")
+
+        edges = (
+            triples.select(
+                F.col("subj").alias("src"),
+                F.col("obj").alias("dst"),
+                F.col("pred").alias("rel"),
+                F.lit(1.0).alias("weight"),
+            )
+            .dropDuplicates(["src", "rel", "dst"])
+        )
+        cat.commit_partitions(with_bucket(edges, "src", N_BUCKETS), "edges", stage="graph")
+    return cat.read(spark, "nodes"), cat.read(spark, "edges")
+
+
+# --------------------------------------------------------------------- driver
+def run_pipeline(
+    spark: SparkSession, sf_dir: str, out_root: str, n_buckets: int = N_BUCKETS
+) -> Catalog:
+    cat = Catalog(out_root)
+    enriched = build_enriched(spark, sf_dir, cat, n_buckets)
+    topic_map = build_topic_map(spark, cat, enriched)
+    triples = build_triples(spark, cat, enriched, topic_map, n_buckets)
+    build_graph(spark, cat, enriched, triples)
+    return cat

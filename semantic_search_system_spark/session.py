@@ -1,0 +1,67 @@
+"""SparkSession construction tuned for this engine.
+
+Local-mode testing runs on ``local[N]``; the same configuration scales to a
+multi-executor cluster (the confs below are cluster-safe: AQE, skew-join
+handling, Arrow batching). Nothing here is test-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the sandbox (32 cores / 125 GiB). On a real cluster the
+# same builder is used with master/memory supplied by spark-submit.
+_DEF_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "semantic_search_system_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard configuration.
+
+    ``master=None`` defers to spark-submit / an existing session; tests pass
+    ``local[32]`` explicitly. ``shuffle_partitions`` defaults to the core count
+    in local mode — at cluster scale it should be ~2-3x total executor cores
+    (or left to AQE coalescing, which is enabled).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+        cores = master[master.find("[") + 1 : master.find("]")] if "[" in master else _DEF_CPUS
+        if cores == "*":
+            cores = _DEF_CPUS
+        if shuffle_partitions is None:
+            shuffle_partitions = max(int(cores), 4)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(_DEF_CPUS)
+
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # AQE: runtime partition coalescing + skew-join splitting. The entity /
+        # topic key distribution is power-law (hot entities appear in ~every
+        # doc), so skew handling is load-bearing, not optional.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow: the only Python on the hot path is vectorized pandas UDFs.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # Deterministic oracle comparison (duckdb timestamps are UTC-naive).
+        "spark.sql.session.timeZone": "UTC",
+        "spark.ui.enabled": "false",
+        # Keep scan partitions sized for executor memory at scale.
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

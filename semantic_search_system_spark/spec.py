@@ -1,0 +1,127 @@
+"""The single shared specification for deterministic corpus synthesis, extraction,
+and embedding.
+
+Everything the correctness gate depends on lives here so the golden-fixture
+generator (plain pandas, ``fixtures/golden.py``) and the Spark pipeline
+(Arrow-vectorized UDFs, ``operators/*``) implement EXACTLY the same function —
+that is how the triple P/R >= 0.95 target (BASELINE.json.north_rule) is made
+reachable and then perturb-tested (SURVEY.md §7.3).
+
+Reference semantics reproduced (file:line refs into /root/reference):
+- entity = top-5 tokens by frequency   (nlp/pr_local_nlp_pipeline.py:70-93)
+- topic  = top-5 key phrases            (nlp/pr_aws_nlp.py:74-76; we use bigrams)
+- summary = lead sentences              (nlp/pr_aws_nlp.py:21)
+- embedding = 256-d L2-normalized       (utils/bedrock.py:35-49, create_vector_index.py:15)
+- normalize_key = strip + lower         (knowledge_graph/knowledge_graph.py:51-55)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re as _re
+
+import numpy as np
+
+# ---------------------------------------------------------------- corpus synthesis
+# Interleaved-span generation over /root/testdata/sf*/documents.parquet
+# (BASELINE.json.input_hint: doc_id:string,
+#  spans:array<struct<kind:string,text:string,media_ref:string,offset:int32>>).
+WORDS_PER_SPAN = 8          # text span = 8 consecutive source tokens
+TEXT_SPANS_PER_MEDIA = 3    # after every 3rd text span, insert one media span
+MEDIA_KINDS = ("image", "video", "audio")  # cycle by media ordinal
+HOT_DOC_MOD = 10            # doc_id % 10 == 0 → skewed doc (hot entity)
+HOT_TOKENS = "hotterm hotterm hotterm hotterm connecticut hotterm hotterm hotterm"
+
+# ---------------------------------------------------------------- extraction
+TOP_K_ENTITIES = 5
+TOP_K_TOPICS = 5
+SUMMARY_SPANS = 2
+STOPWORDS = frozenset(
+    {"a", "the", "and", "of", "to", "in", "is", "it", "for", "on", "with", "at", "by"}
+)
+PRED_MENTIONS = "MENTIONS"
+PRED_HAS_TOPIC = "HAS_TOPIC"
+PRED_RELATES = "RELATES_TO_DOC"
+
+# ---------------------------------------------------------------- embedding
+EMBED_DIM = 256             # utils/bedrock.py:41 — Titan 256-d, L2-normalized
+# ---------------------------------------------------------------- canonicalization
+PHRASE_SIM_THRESHOLD = 0.60  # cosine cut for phrase-cluster edges (topic_modeling.py:31-36)
+
+
+def media_ref(doc_id: str, offset: int) -> str:
+    """Deterministic media reference: md5 so Spark SQL / DuckDB can reproduce it."""
+    return "media://" + hashlib.md5(f"{doc_id}:{offset}".encode()).hexdigest()
+
+
+def clean_tokens(text: str) -> list[str]:
+    """Noise removal + lowercase + whitespace split (clean_text, pr_meta_store.py:26-29).
+
+    Exactly ``regexp_replace(lower(x), '[^a-z0-9\\s]', '')`` then split — byte-for-byte
+    the Spark/DuckDB expression, so every engine tokenizes identically.
+    """
+    return _re.sub(r"[^a-z0-9\s]", "", text.lower()).split()
+
+
+def top_k_by_freq(items: list[str], k: int) -> list[tuple[str, int]]:
+    """Counter.most_common(k) with a DETERMINISTIC tie-break: count desc, item asc.
+
+    (The reference's Counter.most_common is insertion-ordered on ties —
+    pr_local_nlp_pipeline.py:70-93 — which is not reproducible across engines;
+    we fix lexicographic order so Spark, pandas and DuckDB agree.)
+    """
+    counts: dict[str, int] = {}
+    for it in items:
+        counts[it] = counts.get(it, 0) + 1
+    return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def extract_doc(content: str) -> dict:
+    """The extraction spec over one document's concatenated text spans.
+
+    Returns entities (top-5 non-stopword tokens), topics (top-5 non-stopword
+    adjacent bigrams), both with the deterministic tie-break of
+    ``top_k_by_freq``.
+    """
+    toks = [t for t in clean_tokens(content) if t not in STOPWORDS]
+    raw = clean_tokens(content)
+    bigrams = [
+        f"{raw[i]} {raw[i + 1]}"
+        for i in range(len(raw) - 1)
+        if raw[i] not in STOPWORDS and raw[i + 1] not in STOPWORDS
+    ]
+    return {
+        "entities": [t for t, _ in top_k_by_freq(toks, TOP_K_ENTITIES)],
+        "topics": [b for b, _ in top_k_by_freq(bigrams, TOP_K_TOPICS)],
+    }
+
+
+def summarize(text_spans: list[str]) -> str:
+    """Lead-k summary (pr_aws_nlp.py:21 '2-3 line summary' made deterministic)."""
+    return " ".join(text_spans[:SUMMARY_SPANS])
+
+
+def embed_token_slot(token: str) -> tuple[int, float]:
+    """Feature-hash slot + sign for one token (deterministic, md5-based)."""
+    h = hashlib.md5(token.encode()).hexdigest()
+    idx = int(h[:8], 16) % EMBED_DIM
+    sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+    return idx, sign
+
+
+def embed_text(text: str, dim: int = EMBED_DIM) -> np.ndarray:
+    """Deterministic 256-d hashed embedding, L2-normalized (stands in for Titan;
+    same signature/contract as utils/bedrock.py:35-49: float vector, unit norm)."""
+    vec = np.zeros(dim, dtype=np.float64)
+    for tok in clean_tokens(text):
+        idx, sign = embed_token_slot(tok)
+        vec[idx] += sign
+    n = np.linalg.norm(vec)
+    if n > 0:
+        vec /= n
+    return vec.astype(np.float32)
+
+
+def normalize_key(s: str) -> str:
+    """knowledge_graph/knowledge_graph.py:51-55 — join-key normalization."""
+    return s.strip().lower()
