@@ -87,7 +87,12 @@ def assemble_content(df: DataFrame) -> DataFrame:
         .withColumn("url", F.concat(F.lit("doc://"), F.col("doc_id")))
         .withColumn(
             "doc_date",
-            F.date_add(F.lit("2000-01-01").cast("date"), (F.col("doc_id").cast("long") % 9000).cast("int")),
+            # numeric ids (the synthetic corpus) map to a deterministic date in the
+            # reference's 2000-2025 range; non-numeric ids fall back to the epoch day
+            F.date_add(
+                F.lit("2000-01-01").cast("date"),
+                F.coalesce(F.col("doc_id").try_cast("long") % 9000, F.lit(0)).cast("int"),
+            ),
         )
     )
     return out

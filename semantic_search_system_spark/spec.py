@@ -22,6 +22,10 @@ import re as _re
 
 import numpy as np
 
+# Version of the deterministic spec — bump when any constant/function here
+# changes so cached pipeline outputs (data/out/v<N>/...) are invalidated.
+SPEC_VERSION = 1
+
 # ---------------------------------------------------------------- corpus synthesis
 # Interleaved-span generation over /root/testdata/sf*/documents.parquet
 # (BASELINE.json.input_hint: doc_id:string,

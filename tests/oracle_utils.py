@@ -1,0 +1,64 @@
+"""Local replica of the driver's DuckDB-oracle comparison: row count, sorted
+column names, and order-insensitive value comparison (columns sorted by name,
+rows sorted; floats compared exactly after the query-side rounding, since the
+driver hashes values)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # driver hashes values; our rounding happens in the queries themselves —
+        # here we canonicalize the float text form only
+        return f"{v:.9g}"
+    return str(v)
+
+
+def canonical_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    out = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    return sorted_cols, out
+
+
+def compare(spark_df, oracle_sql: str, con: duckdb.DuckDBPyConnection) -> dict:
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = spark_df.columns
+    rel = con.sql(oracle_sql)
+    d_cols = list(rel.columns)
+    d_rows = [tuple(r) for r in rel.fetchall()]
+    sc, sr = canonical_rows(s_cols, s_rows)
+    dc, dr = canonical_rows(d_cols, d_rows)
+    return {
+        "rows_match": len(sr) == len(dr),
+        "schema_match": sc == dc,
+        "values_match": sr == dr,
+        "n_spark": len(sr),
+        "n_duck": len(dr),
+        "spark_cols": sc,
+        "duck_cols": dc,
+        "sample_diff": [
+            (a, b) for a, b in zip(sr, dr) if a != b
+        ][:3]
+        if len(sr) == len(dr)
+        else [],
+    }

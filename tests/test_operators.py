@@ -1,0 +1,143 @@
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from semantic_search_system_spark import spec
+from semantic_search_system_spark.functions.scoring import minmax_normalize_100
+from semantic_search_system_spark.operators.components import connected_components
+from semantic_search_system_spark.operators.embedding import embed_batch
+from semantic_search_system_spark.operators.extraction import (
+    _extract_batch,
+    assemble_content,
+    entities_native,
+    extract_entities_topics,
+)
+from semantic_search_system_spark.operators.linking import candidate_edges
+
+from conftest import SF_SMALL
+
+
+def test_extract_batch_matches_spec():
+    texts = pd.Series(["the spark table spark join the table spark", "", "a b a b a"])
+    out = _extract_batch(texts)
+    for text, ents, tops in zip(texts, out["entities"], out["topics"]):
+        ref = spec.extract_doc(text)
+        assert list(ents) == ref["entities"]
+        assert list(tops) == ref["topics"]
+
+
+def test_embed_batch_matches_spec():
+    texts = pd.Series(["spark join table", "", "hotterm connecticut"])
+    out = embed_batch(texts)
+    for text, vec in zip(texts, out):
+        assert np.array_equal(np.asarray(vec), spec.embed_text(text))
+
+
+def test_assemble_content_order_invariance(spark):
+    # spans arrive shuffled; assemble must re-establish offset order
+    rows = [
+        (
+            "d1",
+            [
+                {"kind": "text", "text": "second chunk", "media_ref": None, "offset": 1},
+                {"kind": "image", "text": None, "media_ref": "media://x", "offset": 2},
+                {"kind": "text", "text": "first chunk", "media_ref": None, "offset": 0},
+            ],
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = assemble_content(df).collect()[0]
+    assert out["content"] == "first chunk second chunk"
+    assert out["media_refs"] == ["media://x"]
+    assert out["summary"] == "first chunk second chunk"
+    assert out["title"].startswith("first chunk")
+
+
+def test_udf_extraction_equals_native(spark):
+    """The pandas-UDF extractor and the SQL-expressible twin agree on real data."""
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .limit(100)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content"))
+    )
+    udf_out = {
+        r["doc_id"]: [e["text"] for e in r["entities"]]
+        for r in extract_entities_topics(docs).select("doc_id", "entities").collect()
+    }
+    native = entities_native(docs).orderBy("doc_id", "rn").collect()
+    nat_out: dict[str, list[str]] = {}
+    for r in native:
+        nat_out.setdefault(r["doc_id"], []).append(r["token"])
+    assert udf_out == nat_out
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("q", "q")], "src string, dst string"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "q": "q"}
+
+
+def test_connected_components_chain(spark):
+    # a long chain needs multiple propagation rounds
+    n = 12
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n)], "src string, dst string"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {"n00"}
+    assert len(got) == n + 1
+
+
+def test_candidate_edges_vs_bruteforce(spark):
+    """Blocked+salted join finds exactly the brute-force edge set within blocks."""
+    from semantic_search_system_spark.operators.embedding import embed_udf
+
+    pdf = pd.DataFrame({"phrase": ["spark join", "spark joins", "spark merge", "zebra run", "zebra runs"]})
+    sdf = spark.createDataFrame(pdf).withColumn("embedding", embed_udf(F.col("phrase")))
+    got = {
+        (r["src"], r["dst"])
+        for r in candidate_edges(sdf, "phrase", "embedding", threshold=0.5).collect()
+    }
+    # brute force within first-token blocks
+    vecs = {p: spec.embed_text(p) for p in pdf["phrase"]}
+    want = set()
+    for a in vecs:
+        for b in vecs:
+            if a < b and a.split()[0] == b.split()[0]:
+                if float(np.dot(vecs[a].astype(np.float64), vecs[b].astype(np.float64))) >= 0.5:
+                    want.add((a, b))
+    assert got == want
+
+
+def test_candidate_edges_salting_exactness(spark):
+    """Hot-block salting must not change the edge set (exact pair coverage)."""
+    from semantic_search_system_spark.operators.embedding import embed_udf
+
+    pdf = pd.DataFrame({"phrase": [f"hot word{i}" for i in range(30)]})
+    sdf = spark.createDataFrame(pdf).withColumn("embedding", embed_udf(F.col("phrase")))
+    unsalted = {
+        (r["src"], r["dst"])
+        for r in candidate_edges(sdf, "phrase", "embedding", threshold=0.3, hot_block_limit=10_000).collect()
+    }
+    salted = {
+        (r["src"], r["dst"])
+        for r in candidate_edges(
+            sdf, "phrase", "embedding", threshold=0.3, hot_block_limit=5, n_salt=4
+        ).collect()
+    }
+    assert salted == unsalted and len(salted) > 0
+
+
+def test_minmax_normalize_edge_cases(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "id int, score double")
+    out = {r["id"]: r["norm_score"] for r in minmax_normalize_100(df, "score").collect()}
+    assert out[1] == 1.0 and out[3] == 100.0 and abs(out[2] - 50.5) < 1e-9
+    # constant scores → everyone 100 (search_pipeline.py:53-57)
+    const = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id int, score double")
+    outc = {r["id"]: r["norm_score"] for r in minmax_normalize_100(const, "score").collect()}
+    assert outc == {1: 100.0, 2: 100.0}

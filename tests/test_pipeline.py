@@ -1,0 +1,87 @@
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from semantic_search_system_spark.fixtures.golden import golden_triples, precision_recall
+from semantic_search_system_spark.fixtures.interleave import interleaved_path
+from semantic_search_system_spark.plans.pipeline import run_pipeline
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pipeline"))
+    cat = run_pipeline(spark, SF_SMALL, root)
+    yield spark, cat, root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _triples(spark, cat):
+    return {
+        (r["subj"], r["pred"], r["obj"])
+        for r in cat.read(spark, "triples").select("subj", "pred", "obj").collect()
+    }
+
+
+def test_triple_pr_against_golden(built):
+    """BASELINE.json: triple P/R >= 0.95 vs the reference-faithful oracle.
+    The shared spec makes it exactly 1.0."""
+    spark, cat, _ = built
+    golden = set(map(tuple, golden_triples(pd.read_parquet(interleaved_path(SF_SMALL))).values))
+    p, r = precision_recall(_triples(spark, cat), golden)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    assert (p, r) == (1.0, 1.0)
+
+
+def test_graph_uniqueness_invariants(built):
+    """knowledge_graph.py:113-114 constraints: unique (kind, node_id); unique
+    (src, rel, dst)."""
+    spark, cat, _ = built
+    nodes = cat.read(spark, "nodes")
+    assert nodes.groupBy("kind", "node_id").count().where("count > 1").count() == 0
+    edges = cat.read(spark, "edges")
+    assert edges.groupBy("src", "rel", "dst").count().where("count > 1").count() == 0
+
+
+def test_resume_is_noop(built):
+    spark, cat, root = built
+    before = {t: cat.manifest(t) for t in ("enriched", "topic_map", "triples", "nodes", "edges")}
+    n_before = len(_triples(spark, cat))
+    cat2 = run_pipeline(spark, SF_SMALL, root)
+    after = {t: cat2.manifest(t) for t in ("enriched", "topic_map", "triples", "nodes", "edges")}
+    for t in before:
+        assert before[t]["partitions"] == after[t]["partitions"]
+        assert len(before[t]["snapshots"]) == len(after[t]["snapshots"])
+    assert len(_triples(spark, cat2)) == n_before
+
+
+def test_mid_run_resume_recomputes_only_downstream(built):
+    spark, cat, root = built
+    golden_count = len(_triples(spark, cat))
+    for t in ("triples", "nodes", "edges"):
+        shutil.rmtree(os.path.join(root, t))
+    enr_snaps = len(cat.manifest("enriched")["snapshots"])
+    cat2 = run_pipeline(spark, SF_SMALL, root)
+    assert len(cat2.manifest("enriched")["snapshots"]) == enr_snaps  # not recomputed
+    assert len(_triples(spark, cat2)) == golden_count  # byte-identical rebuild
+
+
+def test_determinism_two_full_runs(spark, tmp_path_factory):
+    r1 = str(tmp_path_factory.mktemp("det1"))
+    r2 = str(tmp_path_factory.mktemp("det2"))
+    t1 = _triples(spark, run_pipeline(spark, SF_SMALL, r1))
+    t2 = _triples(spark, run_pipeline(spark, SF_SMALL, r2))
+    assert t1 == t2
+    shutil.rmtree(r1, ignore_errors=True)
+    shutil.rmtree(r2, ignore_errors=True)
+
+
+def test_per_partition_metrics_exist(built):
+    spark, cat, _ = built
+    m = cat.metrics("enriched")
+    assert len(m) == 8  # N_BUCKETS
+    assert all(e["rows_written"] > 0 for e in m)
+    assert sum(e["rows_written"] for e in m) == 500
