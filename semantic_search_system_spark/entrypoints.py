@@ -35,6 +35,16 @@ from .operators.extraction import entities_native, topics_native
 ORACLE_SF_DIR = "/root/testdata/sf0.01"
 ORACLE_INTERLEAVED = "/root/repo/data/interleaved/sf0.01/documents_interleaved.parquet"
 
+
+def out_root(sf_dir: str) -> str:
+    """Catalog root for pipeline outputs of one sf, versioned by the spec so a
+    spec change invalidates cached tables."""
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return f"/root/repo/data/out/v{spec.SPEC_VERSION}/{sf}"
+
+
+ORACLE_ENRICHED_GLOB = f"{out_root(ORACLE_SF_DIR)}/enriched/bucket=*/*.parquet"
+
 _STOP_SQL = ", ".join(f"''{s}''" for s in sorted(spec.STOPWORDS)).replace("''", "'")
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -701,3 +711,200 @@ def media_attrs_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("media_refs"),
     )
+
+
+# =====================================================================
+# Dedup family + ANN (training-data pipeline operators)
+# =====================================================================
+
+# Corpus with planted near-duplicates: docs < 50 get a mutated copy. Both
+# engines build it identically so the dedup operators have real positives.
+_CLEAN_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+_DUP_CORPUS_SQL = f"""
+  corpus AS (
+    SELECT cast(doc_id AS VARCHAR) AS doc_id, text FROM documents
+    UNION ALL
+    SELECT 'dup_' || cast(doc_id AS VARCHAR) AS doc_id, text || ' extradup' AS text
+    FROM documents WHERE doc_id < 50),
+  t AS (SELECT doc_id, string_split({_CLEAN_SQL}, ' ') AS toks FROM corpus),
+  sh AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                ELSE [array_to_string(toks, ' ')] END AS shingles
+    FROM t)
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    base = d.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    dups = d.where(F.col("doc_id") < 50).select(
+        F.concat(F.lit("dup_"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extradup")).alias("text"),
+    )
+    return base.unionByName(dups)
+
+
+@query(
+    "minhash_lsh_dedup",
+    oracle=f"""
+    WITH {_DUP_CORPUS_SQL},
+    mh AS (
+      SELECT doc_id, shingles,
+             list_transform(generate_series(0, 15),
+                            i -> list_min(list_transform(shingles, s -> md5(i || ':' || s)))) AS sig
+      FROM sh),
+    banded AS (
+      SELECT doc_id, shingles, b,
+             array_to_string(sig[b*4+1 : b*4+4], '|') AS key
+      FROM (SELECT doc_id, shingles, sig, unnest(generate_series(0, 3)) AS b FROM mh)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT c.src, c.dst,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+    FROM cand c JOIN sh sa ON c.src = sa.doc_id JOIN sh sb ON c.dst = sb.doc_id
+    WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.5
+    """,
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: shingle → md5-minhash(16) → 4 bands →
+    bucket join → exact-Jaccard verify >= 0.5. Fully SQL-checked (md5-keyed
+    permutations keep the signatures engine-agnostic)."""
+    from .operators.dedup import minhash_near_dups
+
+    return minhash_near_dups(_dup_corpus(spark, sf_dir), jaccard_threshold=0.5)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT cast(doc_id AS VARCHAR) AS doc_id, source,
+             string_split({_CLEAN_SQL}, ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM t)
+    SELECT a.doc_id AS src, b.doc_id AS dst,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / len(list_distinct(a.shingles || b.shingles)), 6) > 0
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard within source blocks (> 0 pairs only)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "source"
+    )
+    return ngram_jaccard_pairs(d, threshold=1e-9).where(F.col("jaccard") > 0)
+
+
+@query("simhash_near_dups")  # bit-level pandas UDF — no SQL twin; rows-only check
+def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) LSH near-dup over the planted-dup corpus (hamming <= 8)."""
+    from .operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_dup_corpus(spark, sf_dir))
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, blocked by the label column (IVF-partition
+    analog): only same-block pairs are compared."""
+    from .operators.dedup import embedding_near_dups
+
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, id_col="vec_id", block_col="label", threshold=0.4).withColumnRenamed(
+        "cosine", "cosine"
+    )
+
+
+@query(
+    "ann_ivf_top10",
+    oracle="""
+    WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cvec FROM e ORDER BY vec_id ASC LIMIT 8),
+    scored AS (
+      SELECT e.vec_id, e.v, c.centroid_id,
+             round(list_cosine_similarity(e.v, c.cvec), 6) AS csim
+      FROM e, c),
+    assign AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probed AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id, round(list_cosine_similarity(c.cvec, q.qv), 6) AS qsim
+        FROM c, q ORDER BY qsim DESC, centroid_id ASC LIMIT 2))
+    SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS sim
+    FROM assign a JOIN probed USING (centroid_id), q
+    ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 8 deterministic centroids, probe the 2 nearest — the
+    scale path next to knn_cosine_top10's exact baseline."""
+    from .operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select("embedding").collect()][0]
+    return ivf_topk(e, qvec, k=10, n_centroids=8, n_probe=2)
+
+
+# =====================================================================
+# Search strategies (SURVEY.md §2.10) over the enriched table
+# =====================================================================
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.pipeline import ensure_enriched
+
+    return ensure_enriched(spark, sf_dir, out_root(sf_dir))
+
+
+def _register_search() -> None:
+    from .plans import search as S
+
+    strategies = {
+        "search_simple": (S.simple_search, S.simple_search_sql),
+        "search_advanced": (S.advanced_search, S.advanced_search_sql),
+        "search_pro": (S.pro_search, S.pro_search_sql),
+        "search_pro_enhanced": (S.pro_search_enhanced, S.pro_search_enhanced_sql),
+        "search_kb": (S.search_kb, S.search_kb_sql),
+    }
+    for name, (fn, sql_fn) in strategies.items():
+
+        def make(fn):
+            def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+                return fn(_enriched(spark, sf_dir))
+
+            return q
+
+        _REGISTRY[name] = make(fn)
+        _ORACLES[name] = sql_fn(ORACLE_ENRICHED_GLOB)
+
+
+_register_search()

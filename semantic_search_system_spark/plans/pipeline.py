@@ -207,6 +207,12 @@ def build_graph(
     return cat.read(spark, "nodes"), cat.read(spark, "edges")
 
 
+def ensure_enriched(spark: SparkSession, sf_dir: str, out_root: str) -> DataFrame:
+    """Materialize (or read back) just the enriched stage — the search layer's
+    input table (PR_META_VECTOR_IDX analog) without the canonicalization stages."""
+    return build_enriched(spark, sf_dir, Catalog(out_root))
+
+
 # --------------------------------------------------------------------- driver
 def run_pipeline(
     spark: SparkSession, sf_dir: str, out_root: str, n_buckets: int = N_BUCKETS
