@@ -92,8 +92,18 @@ def minhash_near_dups(
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH dedup: shingle → minhash → band-bucket join → verify
-    candidates with EXACT shingle Jaccard (no false positives leave the op)."""
-    sh = with_minhash(with_shingles(docs, text_col), n_perm).select(id_col, "shingles", "minhash")
+    candidates with EXACT shingle Jaccard (no false positives leave the op).
+
+    The signature table is computed ONCE (repartitioned to all cores, then
+    checkpointed) — it is consumed three times downstream (two banded join
+    sides + the verify join) and recomputing the md5 permutations per branch
+    would multiply the dominant cost."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        with_minhash(with_shingles(docs.repartition(par, id_col), text_col), n_perm)
+        .select(id_col, "shingles", "minhash")
+        .localCheckpoint(eager=True)
+    )
     cand = lsh_candidate_pairs(sh, id_col, n_perm, n_bands)
     a = sh.select(F.col(id_col).alias("src"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("dst"), F.col("shingles").alias("sh_b"))
@@ -119,7 +129,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard within blocks (equi-join on the blocking key keeps
     the pair count linear in block size, never corpus-quadratic)."""
-    sh = with_shingles(docs, text_col, n).select(id_col, block_col, "shingles")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        with_shingles(docs.repartition(par, id_col), text_col, n)
+        .select(id_col, block_col, "shingles")
+        .localCheckpoint(eager=True)
+    )
     a = sh.select(F.col(block_col).alias("blk"), F.col(id_col).alias("src"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(block_col).alias("blk"), F.col(id_col).alias("dst"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -178,7 +193,12 @@ def simhash_near_dups(
     """SimHash near-dup: 64-bit fingerprint (Arrow-vectorized UDF), then LSH on
     16-bit bands — a pair within Hamming distance <= 3 shares at least one of 4
     bands (pigeonhole); verified with exact popcount on the XOR."""
-    fp = docs.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("fp"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    fp = (
+        docs.repartition(par, id_col)
+        .select(F.col(id_col), simhash_udf(F.col(text_col)).alias("fp"))
+        .localCheckpoint(eager=True)
+    )
     width = 64 // n_bands
     mask = (1 << width) - 1
     banded = fp.select(

@@ -1,0 +1,101 @@
+"""Multimodal column plumbing: media spans as opaque binary/ref columns with
+typed metadata, decoded/feature-extracted through ``mapInPandas``.
+
+The interleaved corpus carries media spans (kind image/video/audio +
+``media_ref``). At scale, the actual bytes live in object storage addressed by
+``media_ref``; this module implements the REAL Spark-side plumbing — schema,
+partition-preserving batch iteration, Arrow batch shapes, frame-sampling
+explode — with the codec layer STUBBED: the container has no image/audio
+libraries, so ``decode_media`` either raises ``NotImplementedError`` (real
+mode) or produces a deterministic md5-derived fake payload (test mode). The
+fake is clearly marked and keeps every downstream op (feature vectors,
+similarity, grouping) fully testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 32
+MEDIA_FEATURES_SCHEMA = (
+    "doc_id string, media_ref string, kind string, "
+    "frame int, features array<float>, decode_ok boolean"
+)
+
+
+def decode_media(media_ref: str, kind: str, fake: bool = True) -> bytes:
+    """STUB codec boundary. Real deployments plug an image/audio decoder here
+    (PIL/ffmpeg/torchaudio — not present in this container)."""
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires codec libraries not present in this environment; "
+            "run with fake=True for the deterministic test payload"
+        )
+    # deterministic fake: 64 bytes derived from the ref — stable across runs
+    h = hashlib.md5(media_ref.encode()).digest()
+    return (h * 4)[:64]
+
+
+def _fake_features(payload: bytes, frame: int, dim: int = FEATURE_DIM) -> np.ndarray:
+    # deterministic 'feature extraction' over the fake payload
+    h = hashlib.md5(payload + frame.to_bytes(4, "little")).digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    vec = (raw % 1000).astype(np.float64) / 1000.0
+    n = np.linalg.norm(vec)
+    return (vec / n if n else vec).astype(np.float32)
+
+
+def _frames_for(kind: str) -> int:
+    # video gets 3 sampled frames; image/audio one
+    return 3 if kind == "video" else 1
+
+
+def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """media(doc_id, media_ref, kind) → one row per (media item, frame) with a
+    unit-norm feature vector. The decode/extract runs per Arrow batch inside
+    ``mapInPandas`` — the scalable shape for codec work (CPU-bound, no shuffle;
+    partition count controls parallelism)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "media_ref": [], "kind": [],
+                "frame": [], "features": [], "decode_ok": [],
+            }
+            for doc_id, ref, kind in zip(pdf["doc_id"], pdf["media_ref"], pdf["kind"]):
+                try:
+                    payload = decode_media(ref, kind, fake=fake)
+                    ok = True
+                except NotImplementedError:
+                    payload, ok = b"", False
+                for frame in range(_frames_for(kind)):
+                    rows["doc_id"].append(doc_id)
+                    rows["media_ref"].append(ref)
+                    rows["kind"].append(kind)
+                    rows["frame"].append(frame)
+                    rows["features"].append(
+                        _fake_features(payload, frame) if ok else None
+                    )
+                    rows["decode_ok"].append(ok)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def media_spans(interleaved: DataFrame) -> DataFrame:
+    """Project the media spans out of the interleaved table (typed metadata)."""
+    s = interleaved.select("doc_id", F.explode("spans").alias("s")).where(
+        F.col("s.kind") != "text"
+    )
+    return s.select(
+        "doc_id",
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.offset").alias("offset"),
+    )

@@ -48,6 +48,11 @@ def build_enriched(spark: SparkSession, sf_dir: str, cat: Catalog, n_buckets: in
     if pending:
         docs = with_bucket(read_interleaved(spark, sf_dir), "doc_id", n_buckets)
         docs = docs.where(F.col(BUCKET_COL).isin(pending))
+        # the source is few large parquet files — spread docs across all cores
+        # BEFORE the Arrow-UDF stages or extraction/embedding run serially
+        # (at cluster scale: repartitionByRange('doc_id') per the ingest spec)
+        par = spark.sparkContext.defaultParallelism
+        docs = docs.repartition(par, "doc_id")
         enriched = extract_entities_topics(with_embedding(assemble_content(docs)))
         enriched = enriched.select(
             BUCKET_COL, "doc_id", "url", "title", "doc_date", "content", "summary",

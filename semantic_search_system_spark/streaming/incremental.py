@@ -1,0 +1,91 @@
+"""Incremental processing: the reference's batch work-queue protocol upgraded
+to Structured Streaming.
+
+The reference processes documents incrementally with a ``processed`` boolean
+flag flipped after each bulk write (ingest/pr_meta_store.py:55-139) and a
+straggler sweep (:142-194). Two Spark-native equivalents live here:
+
+1. ``enrich_stream``: a Structured Streaming pipeline — ``readStream`` over the
+   interleaved table directory, the SAME assemble/extract/embed transforms as
+   the batch plan (one logical plan, two execution modes), ``foreachBatch``
+   into the checkpointed Catalog so delivery is idempotent at partition
+   granularity (exactly-once effective semantics).
+2. ``windowed_event_metrics``: watermarked event-time windowed aggregation over
+   the events table — the late-data-tolerant version of the reference's
+   per-month counters (pr_aws_nlp.py:226-283).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPANS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("media_ref", T.StringType()),
+                        T.StructField("offset", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def enrich_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    n_buckets: int = 8,
+):
+    """Stream the interleaved corpus through the enrichment stages into the
+    Catalog. Returns the started StreamingQuery (caller awaits/stops)."""
+    from ..catalog import Catalog, with_bucket
+    from ..operators.embedding import with_embedding
+    from ..operators.extraction import assemble_content, extract_entities_topics
+
+    stream = (
+        spark.readStream.schema(SPANS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    cat = Catalog(out_root)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        enriched = extract_entities_topics(with_embedding(assemble_content(batch_df)))
+        enriched = with_bucket(enriched, "doc_id", n_buckets).select(
+            "bucket", "doc_id", "url", "title", "doc_date", "content", "summary",
+            "entities", "topics", "embedding", "media_refs",
+        )
+        # idempotent: completed partitions are never rewritten, so epoch replays
+        # after a failure cannot duplicate rows
+        cat.commit_partitions(enriched, "enriched_stream", stage=f"stream_epoch_{epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_metrics(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked sliding-window event metrics (works on a stream or a batch DF)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

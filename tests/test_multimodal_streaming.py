@@ -1,0 +1,84 @@
+import numpy as np
+import pytest
+
+from semantic_search_system_spark.fixtures.interleave import interleaved_path
+from semantic_search_system_spark.operators.multimodal import (
+    decode_media,
+    extract_media_features,
+    media_spans,
+)
+from semantic_search_system_spark.streaming.incremental import (
+    enrich_stream,
+    windowed_event_metrics,
+)
+
+from conftest import SF_SMALL
+
+
+def test_decode_stub_modes():
+    fake = decode_media("media://abc", "image", fake=True)
+    assert len(fake) == 64 and fake == decode_media("media://abc", "image", fake=True)
+    with pytest.raises(NotImplementedError):
+        decode_media("media://abc", "image", fake=False)
+
+
+def test_media_feature_extraction(spark):
+    inter = spark.read.parquet(interleaved_path(SF_SMALL))
+    media = media_spans(inter)
+    n_media = media.count()
+    assert n_media > 0
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    # videos explode to 3 frames, image/audio to 1
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault((r["media_ref"], r["kind"]), []).append(r)
+    for (ref, kind), items in by_kind.items():
+        assert len(items) == (3 if kind == "video" else 1)
+        for r in items:
+            assert r["decode_ok"] is True
+            v = np.asarray(r["features"], dtype=np.float32)
+            assert v.shape == (32,)
+            assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    # deterministic across runs
+    again = {(r["media_ref"], r["frame"]): list(r["features"]) for r in feats.collect()}
+    first = {(r["media_ref"], r["frame"]): list(r["features"]) for r in rows}
+    assert again == first
+
+
+def test_enrich_stream_matches_batch(spark, tmp_root):
+    import os
+
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.plans.pipeline import build_enriched
+
+    inter_dir = os.path.dirname(interleaved_path(SF_SMALL))
+    q = enrich_stream(
+        spark,
+        inter_dir,
+        os.path.join(tmp_root, "out"),
+        os.path.join(tmp_root, "ckpt"),
+    )
+    q.awaitTermination(120)
+    cat = Catalog(os.path.join(tmp_root, "out"))
+    streamed = cat.read(spark, "enriched_stream")
+    batch = build_enriched(spark, SF_SMALL, Catalog(os.path.join(tmp_root, "batch")))
+    s_rows = {
+        r["doc_id"]: (tuple(e["text"] for e in r["entities"]), r["summary"])
+        for r in streamed.select("doc_id", "entities", "summary").collect()
+    }
+    b_rows = {
+        r["doc_id"]: (tuple(e["text"] for e in r["entities"]), r["summary"])
+        for r in batch.select("doc_id", "entities", "summary").collect()
+    }
+    assert s_rows == b_rows and len(s_rows) == 500
+
+
+def test_windowed_event_metrics_batch_semantics(spark):
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    out = windowed_event_metrics(ev)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["n"] > 0 for r in rows)
+    # sliding 1h/30m windows: every event lands in exactly 2 windows
+    assert sum(r["n"] for r in rows) == 2 * ev.count()
