@@ -46,6 +46,8 @@ def out_root(sf_dir: str) -> str:
 ORACLE_ENRICHED_GLOB = f"{out_root(ORACLE_SF_DIR)}/enriched/bucket=*/*.parquet"
 
 _STOP_SQL = ", ".join(f"''{s}''" for s in sorted(spec.STOPWORDS)).replace("''", "'")
+# the clean_text expression (C1/C2) as DuckDB SQL — shared by every text oracle
+_CLEAN_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, QueryFn] = {}
@@ -713,13 +715,374 @@ def media_attrs_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "month_windows",
+    oracle="""
+    SELECT y, m,
+           cast(make_date(y, m, 1) AS DATE) AS month_start,
+           cast(make_date(y, m, 1) + INTERVAL 1 MONTH AS DATE) AS next_month_start
+    FROM (SELECT DISTINCT year(ts) AS y, month(ts) AS m FROM events)
+    """,
+)
+def month_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/§2.11: year-month batch windows incl. the December rollover the
+    reference hand-computes (pr_aws_nlp.py:177-186 exclusive month end)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(F.year("ts").alias("y"), F.month("ts").alias("m"))
+        .distinct()
+        .withColumn("month_start", F.make_date(F.col("y"), F.col("m"), F.lit(1)))
+        .withColumn("next_month_start", F.add_months(F.col("month_start"), 1))
+    )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/C7: JSON parse of a string column (the reference parses LLM JSON
+    output, pr_aws_nlp.py:54-67) via from_json with an explicit schema."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k")).alias("total_k"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "events_pivot_manual",
+    oracle="""
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit-values form — engine-portable, unlike dialect PIVOT)."""
+    ev = load(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "error")
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@query(
+    "orders_rollup",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup totals (guide 'cube/rollup')."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "distinct_parts_per_supplier",
+    oracle="""
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact distinct-count per group (approx_count_distinct is the
+    at-scale variant; exact keeps the oracle engine-identical)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"), F.count("*").alias("n_lines")
+    )
+
+
+@query(
+    "asof_last_click_before_error",
+    oracle="""
+    SELECT event_id, user_id, ts, last_click_ts FROM (
+      SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      FROM events WHERE event_type IN ('click', 'error'))
+    WHERE event_type = 'error'
+    """,
+)
+def asof_last_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one — guide 'Common OLAP patterns'):
+    for each error event, the most recent strictly-earlier click by the same
+    user, via a running max over the merged event stream (no per-pair join)."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_type").isin("click", "error"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    return (
+        ev.withColumn("last_click_ts", click_ts)
+        .where(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+@query(
+    "first_order_per_customer",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_priority,
+           first_value(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_date
+    FROM orders
+    """,
+)
+def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: first-value per group (entity-label pick, pr_local_nlp_pipeline.py:84-91)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_orderpriority").over(w).alias("first_priority"),
+            F.first("o_orderdate").over(w).alias("first_date"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "keywords_tfidf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_CLEAN_SQL}, ' ')) AS token FROM documents),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      WHERE token <> '' AND token NOT IN ({_STOP_SQL}) GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT doc_id, token, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf, rn
+    FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df, n.n_docs,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC,
+                                         tf.token ASC) AS rn
+      FROM tf JOIN df USING (token), n)
+    WHERE rn <= 3
+    """,
+)
+def keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6: keyword extraction as tf-idf top-3 per doc (the reference's TextRank
+    import is broken — pr_local_nlp_pipeline.py:97-98; tf-idf is the
+    deterministic replacement). df table is vocabulary-sized → broadcast."""
+    d = load(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    toks = F.split(clean_text_col(F.col("content")), " ")
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .where((F.col("token") != "") & ~F.col("token").isin(*sorted(spec.STOPWORDS)))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf", "rn")
+    )
+
+
+@query(
+    "entity_position_backjoin",
+    oracle=f"""
+    SELECT e.doc_id, e.pos, e.ent, d.n_chars
+    FROM (
+      SELECT doc_id, i - 1 AS pos, entities[i].text AS ent
+      FROM (SELECT doc_id, entities, unnest(generate_series(1, len(entities))) AS i
+            FROM read_parquet('{ORACLE_ENRICHED_GLOB}'))) e
+    JOIN documents d ON cast(d.doc_id AS VARCHAR) = e.doc_id
+    """,
+)
+def entity_position_backjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: posexplode + join back on position/id (the rerank index-back-join,
+    search_pipeline.py:76-141)."""
+    enr = _enriched(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_chars"
+    )
+    exploded = enr.select(
+        "doc_id", F.posexplode(F.transform("entities", lambda e: e["text"])).alias("pos", "ent")
+    )
+    return exploded.join(docs, "doc_id").select("doc_id", "pos", "ent", "n_chars")
+
+
+@query("topic_model_lda")  # Spark ML EM-LDA: iterative, seeded — rows-only check
+def topic_model_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: corpus-level LDA (the reference runs per-doc LDA on a single doc,
+    pr_local_nlp_pipeline.py:48-66, which is degenerate; corpus-level matches
+    what its fixture topics reflect). CountVectorizer + seeded EM LDA, top-10
+    terms per topic."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(clean_text_col(F.col("text")), " ").alias("tokens")
+    )
+    cv = CountVectorizer(inputCol="tokens", outputCol="tf", vocabSize=1024, minDF=2.0)
+    model = cv.fit(d)
+    lda = LDA(k=5, seed=42, maxIter=10, optimizer="em", featuresCol="tf")
+    ldam = lda.fit(model.transform(d))
+    vocab = model.vocabulary
+    topics = ldam.describeTopics(10).select(
+        "topic", F.posexplode(F.arrays_zip("termIndices", "termWeights")).alias("rank", "tw")
+    )
+    vocab_expr = F.array(*[F.lit(v) for v in vocab])
+    return topics.select(
+        "topic",
+        "rank",
+        F.element_at(vocab_expr, F.col("tw.termIndices") + 1).alias("term"),
+        F.round(F.col("tw.termWeights"), 6).alias("weight"),
+    )
+
+
+@query("sliding_window_metrics")  # F.window() has no portable SQL twin; rows-only
+def sliding_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-compatible sliding-window metrics (the streaming aggregation
+    run in batch mode; streaming/incremental.py runs the same plan as a stream)."""
+    from .streaming.incremental import windowed_event_metrics
+
+    ev = load(spark, sf_dir, "events")
+    out = windowed_event_metrics(ev)
+    return out.select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+# =====================================================================
+# Graph read path (S9-S11) over the materialized nodes/edges tables
+# =====================================================================
+
+ORACLE_NODES_GLOB = f"{out_root(ORACLE_SF_DIR)}/nodes/bucket=*/*.parquet"
+ORACLE_EDGES_GLOB = f"{out_root(ORACLE_SF_DIR)}/edges/bucket=*/*.parquet"
+
+
+def _graph_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    from .catalog import Catalog
+    from .plans.pipeline import run_pipeline
+
+    cat = run_pipeline(spark, sf_dir, out_root(sf_dir))
+    return cat.read(spark, "nodes"), cat.read(spark, "edges")
+
+
+@query(
+    "graph_topics_list",
+    oracle=f"""
+    SELECT name FROM read_parquet('{ORACLE_NODES_GLOB}')
+    WHERE kind = 'BroadTopic' ORDER BY name
+    """,
+)
+def graph_topics_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: topic node scan (fetch_topics, knowledge_graph/utils.py:31-38)."""
+    nodes, _ = _graph_tables(spark, sf_dir)
+    return nodes.where(F.col("kind") == "BroadTopic").select("name").orderBy("name")
+
+
+@query(
+    "graph_docs_for_topic",
+    oracle=f"""
+    SELECT e.dst AS doc_id, n.title AS title
+    FROM read_parquet('{ORACLE_EDGES_GLOB}') e
+    JOIN read_parquet('{ORACLE_NODES_GLOB}') n
+      ON n.kind = 'Document' AND n.node_id = e.dst
+    WHERE e.rel = 'RELATES_TO_DOC'
+      AND e.src = (SELECT min(src) FROM read_parquet('{ORACLE_EDGES_GLOB}')
+                   WHERE rel = 'RELATES_TO_DOC')
+    ORDER BY title, doc_id LIMIT 500
+    """,
+)
+def graph_docs_for_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: 1-hop traversal topic → docs, ORDER BY title LIMIT 500
+    (fetch_documents_for_topic, knowledge_graph/utils.py:40-53)."""
+    nodes, edges = _graph_tables(spark, sf_dir)
+    rel = edges.where(F.col("rel") == spec.PRED_RELATES)
+    first_topic = rel.agg(F.min("src").alias("src"))
+    docs = nodes.where(F.col("kind") == "Document").select(
+        F.col("node_id").alias("dst"), "title"
+    )
+    return (
+        rel.join(F.broadcast(first_topic), "src")
+        .join(docs, "dst")
+        .select(F.col("dst").alias("doc_id"), "title")
+        .orderBy("title", "doc_id")
+        .limit(500)
+    )
+
+
+@query(
+    "graph_subgraph_collect",
+    oracle=f"""
+    SELECT src AS topic, string_agg(DISTINCT dst, ',' ORDER BY dst) AS docs,
+           count(DISTINCT dst) AS n_docs
+    FROM read_parquet('{ORACLE_EDGES_GLOB}')
+    WHERE rel = 'RELATES_TO_DOC'
+      AND src IN (SELECT src FROM (SELECT DISTINCT src FROM read_parquet('{ORACLE_EDGES_GLOB}')
+                  WHERE rel = 'RELATES_TO_DOC' ORDER BY src LIMIT 3))
+    GROUP BY src
+    """,
+)
+def graph_subgraph_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: multi-topic subgraph with collect(DISTINCT docs)
+    (fetch_subgraph_data, knowledge_graph/utils.py:55-97)."""
+    _, edges = _graph_tables(spark, sf_dir)
+    rel = edges.where(F.col("rel") == spec.PRED_RELATES)
+    topics = rel.select("src").distinct().orderBy("src").limit(3)
+    return (
+        rel.join(F.broadcast(topics), "src", "left_semi")
+        .groupBy(F.col("src").alias("topic"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("dst")), ",").alias("docs"),
+            F.countDistinct("dst").alias("n_docs"),
+        )
+    )
+
+
 # =====================================================================
 # Dedup family + ANN (training-data pipeline operators)
 # =====================================================================
 
 # Corpus with planted near-duplicates: docs < 50 get a mutated copy. Both
 # engines build it identically so the dedup operators have real positives.
-_CLEAN_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
 _DUP_CORPUS_SQL = f"""
   corpus AS (
     SELECT cast(doc_id AS VARCHAR) AS doc_id, text FROM documents

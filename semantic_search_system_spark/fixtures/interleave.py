@@ -101,7 +101,9 @@ def build_interleaved(sf_dir: str, out_dir: str | None = None, force: bool = Fal
         schema=INTERLEAVED_SCHEMA,
     )
     tmp = out_path + ".tmp"
-    pq.write_table(table, tmp)
+    # small row groups keep the file splittable → parallel scans even for a
+    # single-file corpus
+    pq.write_table(table, tmp, row_group_size=512)
     os.replace(tmp, out_path)  # atomic publish → idempotent under concurrent builds
     return out_path
 

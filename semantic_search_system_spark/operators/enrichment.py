@@ -1,0 +1,62 @@
+"""Fused enrichment UDF: entities + topics + embedding in ONE Arrow stage.
+
+``extract_udf`` and ``embed_udf`` are kept as standalone operators, but the
+pipeline uses this fused form on the hot path: both extractors tokenize the
+same cleaned content, so fusing them halves the Python-side tokenization AND
+halves the Arrow serialization of the content column (one batch transfer
+instead of two). At 10^12 docs the enrichment stage is the dominant compute —
+this is the single biggest constant-factor lever.
+
+Must stay spec-exact: delegates to the same batch kernels the standalone
+operators use (operators/extraction._extract_batch, operators/embedding
+embed_batch), so the UDF==native==golden cross-checks keep holding.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .embedding import embed_batch
+from .extraction import _extract_batch
+
+ENRICH_RESULT = T.StructType(
+    [
+        T.StructField("entities", T.ArrayType(T.StringType())),
+        T.StructField("topics", T.ArrayType(T.StringType())),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+@F.pandas_udf(ENRICH_RESULT)
+def enrich_udf(contents: pd.Series) -> pd.DataFrame:
+    out = _extract_batch(contents)
+    out["embedding"] = embed_batch(contents)
+    return out
+
+
+def enrich_content(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach entities/topics (array<struct<text,label>>) + embedding via the
+    fused UDF — output-identical to extract_entities_topics ∘ with_embedding."""
+    df = df.withColumn("_en", enrich_udf(F.col(content_col)))
+    return (
+        df.withColumn(
+            "entities",
+            F.transform(
+                F.col("_en.entities"),
+                lambda t: F.struct(t.alias("text"), F.lit("ENTITY").alias("label")),
+            ),
+        )
+        .withColumn(
+            "topics",
+            F.transform(
+                F.col("_en.topics"),
+                lambda t: F.struct(t.alias("text"), F.lit("TOPIC").alias("label")),
+            ),
+        )
+        .withColumn("embedding", F.col("_en.embedding"))
+        .drop("_en")
+    )

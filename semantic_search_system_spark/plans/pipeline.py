@@ -48,12 +48,16 @@ def build_enriched(spark: SparkSession, sf_dir: str, cat: Catalog, n_buckets: in
     if pending:
         docs = with_bucket(read_interleaved(spark, sf_dir), "doc_id", n_buckets)
         docs = docs.where(F.col(BUCKET_COL).isin(pending))
-        # the source is few large parquet files — spread docs across all cores
-        # BEFORE the Arrow-UDF stages or extraction/embedding run serially
-        # (at cluster scale: repartitionByRange('doc_id') per the ingest spec)
+        # the scan is splittable (small row groups); only force a shuffle when
+        # the source yields fewer splits than cores, or the Arrow-UDF stages
+        # would run under-parallel (at cluster scale: repartitionByRange on
+        # doc_id per the ingest spec)
         par = spark.sparkContext.defaultParallelism
-        docs = docs.repartition(par, "doc_id")
-        enriched = extract_entities_topics(with_embedding(assemble_content(docs)))
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par, "doc_id")
+        from ..operators.enrichment import enrich_content
+
+        enriched = enrich_content(assemble_content(docs))
         enriched = enriched.select(
             BUCKET_COL, "doc_id", "url", "title", "doc_date", "content", "summary",
             "entities", "topics", "embedding", "media_refs",
@@ -118,25 +122,44 @@ def build_triples(
     pending = cat.pending_buckets("triples", n_buckets)
     if pending:
         part = enriched.where(F.col(BUCKET_COL).isin(pending))
-        mentions = part.select(
+
+        # MENTIONS + HAS_TOPIC in ONE scan, ONE explode, ZERO shuffle: the
+        # entity/topic arrays are per-doc distinct by the extraction spec and
+        # subj = doc_id, so global uniqueness holds by construction — a global
+        # dropDuplicates here would shuffle every triple for nothing.
+        def _to_triples(arr_col: str, pred: str):
+            return F.transform(
+                F.col(arr_col),
+                lambda x: F.struct(
+                    F.col("doc_id").alias("subj"),
+                    F.lit(pred).alias("pred"),
+                    F.lower(F.trim(x["text"])).alias("obj"),
+                ),
+            )
+
+        ent_topic = part.select(
             BUCKET_COL,
-            F.col("doc_id").alias("subj"),
-            F.lit(spec.PRED_MENTIONS).alias("pred"),
-            F.explode(F.transform("entities", lambda e: F.lower(F.trim(e["text"])))).alias("obj"),
-        )
+            F.explode(
+                F.concat(
+                    _to_triples("entities", spec.PRED_MENTIONS),
+                    _to_triples("topics", spec.PRED_HAS_TOPIC),
+                )
+            ).alias("t"),
+        ).select(BUCKET_COL, "t.subj", "t.pred", "t.obj")
+
+        # RELATES_TO_DOC: topic_map is vocabulary-sized (sub-linear in the
+        # corpus) → broadcast join; dedup is needed only when two phrases of
+        # the SAME doc canonicalize to the same broad topic, so the distinct
+        # key includes doc_id and the shuffle carries only this branch —
+        # the MERGE-per-pair loop of knowledge_graph.py:151-189 collapses to
+        # one broadcast join + one narrow distinct.
         doc_topics = part.select(
             BUCKET_COL,
             "doc_id",
-            F.explode(F.transform("topics", lambda t: F.lower(F.trim(t["text"])))).alias("phrase_norm"),
+            F.explode(
+                F.array_distinct(F.transform("topics", lambda t: F.lower(F.trim(t["text"]))))
+            ).alias("phrase_norm"),
         )
-        has_topic = doc_topics.select(
-            BUCKET_COL,
-            F.col("doc_id").alias("subj"),
-            F.lit(spec.PRED_HAS_TOPIC).alias("pred"),
-            F.col("phrase_norm").alias("obj"),
-        )
-        # topic_map is small (vocabulary-sized) → broadcast; the MERGE-per-pair
-        # loop of knowledge_graph.py:151-189 becomes one broadcast join + dedup
         relates = (
             doc_topics.join(F.broadcast(topic_map.select("phrase_norm", "broad_topic")), "phrase_norm")
             .select(
@@ -145,10 +168,9 @@ def build_triples(
                 F.lit(spec.PRED_RELATES).alias("pred"),
                 F.col("doc_id").alias("obj"),
             )
+            .dropDuplicates(["subj", "obj"])
         )
-        triples = mentions.unionByName(has_topic).unionByName(relates).dropDuplicates(
-            ["subj", "pred", "obj"]
-        )
+        triples = ent_topic.unionByName(relates)
         cat.commit_partitions(triples, "triples", stage="triples")
     return cat.read(spark, "triples")
 
@@ -194,19 +216,20 @@ def build_graph(
                 F.lit(None).cast("array<string>").alias("media_refs"),
             )
         )
-        nodes = doc_nodes.unionByName(entity_nodes).unionByName(topic_nodes).dropDuplicates(
-            ["kind", "node_id"]
-        )
+        # each branch is internally distinct (docs by key, entity/topic ids via
+        # the distincts above) and kinds are disjoint, so the (kind, node_id)
+        # uniqueness invariant holds WITHOUT a global dropDuplicates shuffle —
+        # tests/test_pipeline.py asserts it on the written table
+        nodes = doc_nodes.unionByName(entity_nodes).unionByName(topic_nodes)
         cat.commit_partitions(with_bucket(nodes, "node_id", N_BUCKETS), "nodes", stage="graph")
 
-        edges = (
-            triples.select(
-                F.col("subj").alias("src"),
-                F.col("obj").alias("dst"),
-                F.col("pred").alias("rel"),
-                F.lit(1.0).alias("weight"),
-            )
-            .dropDuplicates(["src", "rel", "dst"])
+        # the triples table is already unique on (subj, pred, obj) — a rename
+        # projection, no dedup shuffle
+        edges = triples.select(
+            F.col("subj").alias("src"),
+            F.col("obj").alias("dst"),
+            F.col("pred").alias("rel"),
+            F.lit(1.0).alias("weight"),
         )
         cat.commit_partitions(with_bucket(edges, "src", N_BUCKETS), "edges", stage="graph")
     return cat.read(spark, "nodes"), cat.read(spark, "edges")

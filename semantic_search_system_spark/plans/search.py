@@ -134,15 +134,31 @@ def simple_search_sql(enriched_glob: str, k: int = K) -> str:
     """
 
 
+# ---------------------------------------------------------------- scale helpers
+def _semantic_topk_flag(s: DataFrame, semantic_k: int, flag: str) -> DataFrame:
+    """Mark the semantic top-k rows WITHOUT a global window: a global
+    ``row_number()`` (WindowExec with no partition) funnels every row through
+    one task; ``orderBy().limit()`` compiles to TakeOrderedAndProject (partial
+    top-k on every partition, merge on the driver) and the tiny result is
+    broadcast-joined back. The (sem_score desc, doc_id asc) ordering is total,
+    so the selected set is identical to the rank formulation."""
+    topk = (
+        s.orderBy(F.desc("sem_score"), F.asc("doc_id"))
+        .limit(semantic_k)
+        .select("doc_id", F.lit(True).alias(flag))
+    )
+    return s.join(F.broadcast(topk), "doc_id", "left").withColumn(
+        flag, F.coalesce(F.col(flag), F.lit(False))
+    )
+
+
 # ================================================================ Q2 advanced
 def advanced_search(enriched: DataFrame, k: int = K) -> DataFrame:
-    s = _with_scores(enriched)
-    w = Window.orderBy(F.desc("sem_score"), F.asc("doc_id"))
-    s = s.withColumn("sem_rank", F.row_number().over(w))
+    s = _semantic_topk_flag(_with_scores(enriched), k * 3, "_sem_top")
     score = F.round(
         F.col("title_ov") * 3.0
         + F.col("summary_ov") * 2.0
-        + F.when(F.col("sem_rank") <= k * 3, F.col("sem_score")).otherwise(0.0),
+        + F.when(F.col("_sem_top"), F.col("sem_score")).otherwise(0.0),
         6,
     )
     return (
@@ -186,21 +202,30 @@ def _hybrid(enriched: DataFrame, k: int, semantic_k: int) -> DataFrame:
         + (F.col("ent_ov") > 0).cast("int")
         + (F.col("topic_ov") > 0).cast("int")
     )
-    w = Window.orderBy(F.desc("sem_score"), F.asc("doc_id"))
-    s = (
-        s.withColumn("lex_score", lex)
-        .withColumn("lex_ok", should >= 2)
-        .withColumn("sem_rank", F.row_number().over(w))
-    )
-    cand = s.where(F.col("lex_ok") | (F.col("sem_rank") <= semantic_k))
-    wall = Window.partitionBy()
-    def norm(c):
-        mn, mx = F.min(c).over(wall), F.max(c).over(wall)
-        return F.round(F.when(mx == mn, F.lit(1.0)).otherwise((F.col(c) - mn) / (mx - mn)), 6)
-
+    s = s.withColumn("lex_score", lex).withColumn("lex_ok", should >= 2)
+    s = _semantic_topk_flag(s, semantic_k, "_sem_top")
+    cand = s.where(F.col("lex_ok") | F.col("_sem_top"))
     cand = cand.withColumn("lex_b", F.when(F.col("lex_ok"), F.col("lex_score")).otherwise(0.0))
-    cand = cand.withColumn("sem_b", F.when(F.col("sem_rank") <= semantic_k, F.col("sem_score")).otherwise(0.0))
-    cand = cand.withColumn("lex_n", norm("lex_b")).withColumn("sem_n", norm("sem_b"))
+    cand = cand.withColumn("sem_b", F.when(F.col("_sem_top"), F.col("sem_score")).otherwise(0.0))
+    # branch min/max as ONE aggregate broadcast back — a partition-less window
+    # would single-task the whole candidate set at scale
+    stats = cand.agg(
+        F.min("lex_b").alias("_lmn"), F.max("lex_b").alias("_lmx"),
+        F.min("sem_b").alias("_smn"), F.max("sem_b").alias("_smx"),
+    )
+    cand = cand.crossJoin(F.broadcast(stats))
+
+    def norm(c, mn, mx):
+        return F.round(
+            F.when(F.col(mx) == F.col(mn), F.lit(1.0)).otherwise(
+                (F.col(c) - F.col(mn)) / (F.col(mx) - F.col(mn))
+            ),
+            6,
+        )
+
+    cand = cand.withColumn("lex_n", norm("lex_b", "_lmn", "_lmx")).withColumn(
+        "sem_n", norm("sem_b", "_smn", "_smx")
+    )
     return cand.withColumn("score", F.round((F.col("lex_n") + F.col("sem_n")) / 2.0, 6))
 
 
@@ -272,9 +297,12 @@ def pro_search_enhanced(enriched: DataFrame, k: int = K) -> DataFrame:
         F.array_intersect(F.split(F.col("content"), " "), F.col("exp_terms"))
     ).cast("double")
     boosted = F.round(F.col("score") * 1.0 + exp_ov * 0.5, 6)
-    window = fused.withColumn("boosted", boosted)
-    w = Window.orderBy(F.desc("boosted"), F.asc("doc_id"))
-    window = window.withColumn("rr", F.row_number().over(w)).where(F.col("rr") <= k * 5)
+    # rerank window selection via TakeOrderedAndProject, not a global window
+    window = (
+        fused.withColumn("boosted", boosted)
+        .orderBy(F.desc("boosted"), F.asc("doc_id"))
+        .limit(k * 5)
+    )
     # rerank (N12): weighted overlap + cosine over the k*5 window
     qn = float(len(QUERY_TERMS))
     rerank = F.round(
@@ -320,8 +348,9 @@ def search_kb(enriched: DataFrame, k: int = K) -> DataFrame:
     semantic_k = min(max(1, k), 10)  # capped (search_service.py:329-330)
     fused = _hybrid(enriched, k, semantic_k)
     # normalize fused score to [1,100], threshold >= 70 (search_service.py:380-382)
-    wall = Window.partitionBy()
-    mn, mx = F.min("score").over(wall), F.max("score").over(wall)
+    stats = fused.agg(F.min("score").alias("_mn"), F.max("score").alias("_mx"))
+    fused = fused.crossJoin(F.broadcast(stats))
+    mn, mx = F.col("_mn"), F.col("_mx")
     norm100 = F.round(
         F.when(mx == mn, F.lit(100.0)).otherwise(
             F.greatest(F.lit(1.0), F.least(F.lit(100.0), 1.0 + (F.col("score") - mn) / (mx - mn) * 99.0))

@@ -54,8 +54,13 @@ def get_spark(
         # Deterministic oracle comparison (duckdb timestamps are UTC-naive).
         "spark.sql.session.timeZone": "UTC",
         "spark.ui.enabled": "false",
-        # Keep scan partitions sized for executor memory at scale.
-        "spark.sql.files.maxPartitionBytes": "134217728",
+        # Scan-split sizing: 32 MiB yields enough splits to keep every core
+        # busy on this engine's document corpora (span arrays expand ~4-8x in
+        # memory vs parquet bytes); raise via env for wide-row workloads.
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"
+        ),
+        "spark.sql.files.openCostInBytes": "1048576",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     }
     if extra_conf:
