@@ -31,18 +31,29 @@ def _slot(token: str) -> tuple[int, float]:
 
 
 def embed_batch(texts: pd.Series, dim: int = spec.EMBED_DIM) -> pd.Series:
+    """Vectorized: explode tokens → (row, token) counts → one np.add.at
+    scatter-add. Python loops touch only the batch's UNIQUE tokens (the
+    vocabulary, tiny next to the token stream)."""
     toks = (
         texts.fillna("")
         .str.lower()
         .str.replace(r"[^a-z0-9\s]", "", regex=True)
         .str.split()
     )
+    toks = toks.reset_index(drop=True)
     out = np.zeros((len(texts), dim), dtype=np.float64)
-    for i, tl in enumerate(toks):
-        row = out[i]
-        for t in tl or ():
-            idx, sign = _slot(t)
-            row[idx] += sign
+    tok = toks.explode()
+    tok = tok[tok.notna() & (tok != "")]
+    if len(tok):
+        cnt = tok.groupby([tok.index, tok]).size()
+        rows = cnt.index.get_level_values(0).to_numpy()
+        words = cnt.index.get_level_values(1)
+        counts = cnt.to_numpy(dtype=np.float64)
+        codes, uniq = pd.factorize(words)
+        slot_arr = np.array([_slot(w) for w in uniq])  # vocab-sized loop only
+        idxs = slot_arr[codes, 0].astype(np.int64)
+        signs = slot_arr[codes, 1]
+        np.add.at(out, (rows, idxs), signs * counts)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     np.divide(out, norms, out=out, where=norms > 0)
     return pd.Series(list(out.astype(np.float32)))

@@ -114,35 +114,50 @@ def assemble_content(df: DataFrame) -> DataFrame:
     return out
 
 
+def _top_k_per_row(items: pd.Series, k: int) -> pd.Series:
+    """(row-indexed string Series) → per-row top-k list by (count desc, item asc).
+
+    Vectorized: one groupby-size + one sort + one groupby-head — no per-row
+    Python. The sort implements spec.top_k_by_freq's deterministic tie-break."""
+    if items.empty:
+        return pd.Series(dtype=object)
+    cnt = items.groupby([items.index, items]).size()
+    df = cnt.rename("c").reset_index()
+    df.columns = ["row", "item", "c"]
+    df = df.sort_values(["row", "c", "item"], ascending=[True, False, True], kind="mergesort")
+    top = df.groupby("row", sort=False).head(k)
+    return top.groupby("row", sort=False)["item"].agg(list)
+
+
 def _extract_batch(contents: pd.Series) -> pd.DataFrame:
-    """Batch extraction implementing spec.extract_doc with pandas vector ops."""
+    """Batch extraction implementing spec.extract_doc with pandas vector ops
+    (explode + groupby run in C; zero per-row Python on the hot path)."""
     toks = (
         contents.fillna("")
         .str.lower()
         .str.replace(r"[^a-z0-9\s]", "", regex=True)
         .str.split()
     )
-    ents: list[list[str]] = []
-    tops: list[list[str]] = []
-    stop = spec.STOPWORDS
-    for tl in toks:
-        tl = tl or []
-        counts: dict[str, int] = {}
-        for t in tl:
-            if t not in stop:
-                counts[t] = counts.get(t, 0) + 1
-        ents.append(
-            [t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: spec.TOP_K_ENTITIES]]
-        )
-        bg: dict[str, int] = {}
-        for a, b in zip(tl, tl[1:]):
-            if a not in stop and b not in stop:
-                k = a + " " + b
-                bg[k] = bg.get(k, 0) + 1
-        tops.append(
-            [t for t, _ in sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[: spec.TOP_K_TOPICS]]
-        )
-    return pd.DataFrame({"entities": ents, "topics": tops})
+    toks = toks.reset_index(drop=True)
+    tok = toks.explode()
+    tok = tok[tok.notna() & (tok != "")]
+    stop = sorted(spec.STOPWORDS)
+
+    ents_by_row = _top_k_per_row(tok[~tok.isin(stop)], spec.TOP_K_ENTITIES)
+
+    nxt = tok.groupby(level=0).shift(-1)
+    mask = nxt.notna() & ~tok.isin(stop) & ~nxt.isin(stop)
+    bigrams = tok[mask] + " " + nxt[mask]
+    tops_by_row = _top_k_per_row(bigrams, spec.TOP_K_TOPICS)
+
+    n = len(contents)
+    empty: list[str] = []
+    return pd.DataFrame(
+        {
+            "entities": [ents_by_row.get(i, empty) for i in range(n)],
+            "topics": [tops_by_row.get(i, empty) for i in range(n)],
+        }
+    )
 
 
 @F.pandas_udf(EXTRACT_RESULT)

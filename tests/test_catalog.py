@@ -1,0 +1,74 @@
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_search_system_spark.catalog import BUCKET_COL, Catalog, with_bucket
+
+
+@pytest.fixture()
+def sample(spark):
+    return with_bucket(
+        spark.range(100).select(F.col("id").cast("string").alias("doc_id"), (F.col("id") * 2).alias("v")),
+        "doc_id",
+        4,
+    )
+
+
+def test_commit_and_read_roundtrip(spark, tmp_root, sample):
+    cat = Catalog(tmp_root)
+    committed = cat.commit_partitions(sample, "t", stage="s1")
+    assert len(committed) == 4
+    back = cat.read(spark, "t")
+    assert back.count() == 100
+    assert set(back.columns) == {"doc_id", "v", BUCKET_COL}
+    assert cat.completed_buckets("t") == {0, 1, 2, 3}
+    assert cat.pending_buckets("t", 4) == []
+
+
+def test_completed_partitions_never_rewritten(spark, tmp_root, sample):
+    cat = Catalog(tmp_root)
+    cat.commit_partitions(sample.where(F.col(BUCKET_COL) == 0), "t", stage="s1")
+    rows0 = cat.read(spark, "t").count()
+    # a second commit carrying bucket 0 with DIFFERENT data must not touch it
+    mutated = sample.withColumn("v", F.col("v") + 1000)
+    cat.commit_partitions(mutated, "t", stage="s2")
+    back = cat.read(spark, "t")
+    assert back.count() == 100
+    b0 = back.where(F.col(BUCKET_COL) == 0)
+    assert b0.where(F.col("v") >= 1000).count() == 0  # original rows preserved
+    assert b0.count() == rows0
+
+
+def test_overwrite_replaces_table(spark, tmp_root, sample):
+    """S8 graph-rebuild semantics (knowledge_graph.py:58-107)."""
+    cat = Catalog(tmp_root)
+    cat.commit_partitions(sample, "t", stage="s1")
+    smaller = sample.where(F.col("v") < 50)
+    cat.overwrite(smaller, "t", stage="rebuild")
+    assert cat.read(spark, "t").count() == 25
+    assert len(cat.manifest("t")["snapshots"]) == 1  # fresh history
+
+
+def test_metrics_lineage_rows(spark, tmp_root, sample):
+    cat = Catalog(tmp_root)
+    cat.commit_partitions(sample, "t", stage="s1")
+    m = cat.metrics("t")
+    assert len(m) == 4
+    for e in m:
+        assert e["stage"] == "s1"
+        assert e["rows_written"] > 0
+        assert "snapshot_id" in e and "completed_at" in e and "wall_ms" in e
+    assert sum(e["rows_written"] for e in m) == 100
+
+
+def test_json_source_sink_roundtrip(spark, tmp_root):
+    """S3: JSON file sink/source with explicit schema (no inference)."""
+    df = spark.range(10).select(
+        F.col("id"), F.concat(F.lit("u"), F.col("id")).alias("name")
+    )
+    path = os.path.join(tmp_root, "j")
+    df.write.mode("overwrite").json(path)
+    back = spark.read.schema("id long, name string").json(path)
+    assert back.count() == 10
+    assert {r["name"] for r in back.collect()} == {f"u{i}" for i in range(10)}

@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for the deterministic spec layer —
+the invariants every engine-side implementation is held to."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from semantic_search_system_spark import spec
+from semantic_search_system_spark.fixtures.interleave import spans_for_text
+from semantic_search_system_spark.operators.embedding import embed_batch
+from semantic_search_system_spark.operators.extraction import _extract_batch
+
+words = st.lists(
+    st.text(alphabet="abcdefghij0123", min_size=1, max_size=8), min_size=0, max_size=120
+)
+texts = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789 .,!?-_ABCXYZ", max_size=400
+)
+
+
+@given(words, st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_spans_invariants(tokens, hot):
+    text = " ".join(tokens)
+    spans = spans_for_text("42", text, hot)
+    # offsets are exactly the stored order 0..n-1 (the per-row invariant)
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+    # text reassembly round-trips the token stream (+ hot tail)
+    expect = tokens + (spec.HOT_TOKENS.split() if hot else [])
+    got = " ".join(s["text"] for s in spans if s["kind"] == "text" and s["text"]).split()
+    assert got == expect
+    # media spans: deterministic refs, no text, kinds cycle the spec order
+    media = [s for s in spans if s["kind"] != "text"]
+    for i, s in enumerate(media):
+        assert s["media_ref"] == spec.media_ref("42", s["offset"])
+        assert s["text"] is None
+        assert s["kind"] == spec.MEDIA_KINDS[i % len(spec.MEDIA_KINDS)]
+    # media cadence: one media span after every TEXT_SPANS_PER_MEDIA text spans
+    kinds = [s["kind"] for s in spans]
+    for i, k in enumerate(kinds):
+        n_text_before = sum(1 for x in kinds[:i] if x == "text")
+        if k != "text":
+            assert n_text_before % spec.TEXT_SPANS_PER_MEDIA == 0 and n_text_before > 0
+
+
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=3), max_size=60), st.integers(1, 7))
+@settings(max_examples=200, deadline=None)
+def test_top_k_properties(items, k):
+    out = spec.top_k_by_freq(items, k)
+    assert len(out) <= k
+    # sorted by (count desc, item asc); counts correct
+    keys = [(-c, t) for t, c in out]
+    assert keys == sorted(keys)
+    for t, c in out:
+        assert items.count(t) == c
+    # nothing outside the result beats anything inside it
+    if out:
+        worst = (-out[-1][1], out[-1][0])
+        for t in set(items) - {t for t, _ in out}:
+            assert (-items.count(t), t) > worst
+
+
+@given(st.lists(texts, min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_batch_kernels_match_spec(batch):
+    s = pd.Series(batch)
+    ex = _extract_batch(s)
+    em = embed_batch(s)
+    for i, t in enumerate(batch):
+        ref = spec.extract_doc(t)
+        assert list(ex["entities"][i]) == ref["entities"]
+        assert list(ex["topics"][i]) == ref["topics"]
+        assert np.array_equal(np.asarray(em[i]), spec.embed_text(t))
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_embed_unit_norm(t):
+    v = spec.embed_text(t)
+    n = float(np.linalg.norm(v))
+    assert n == 0.0 or abs(n - 1.0) < 1e-5
