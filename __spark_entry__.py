@@ -56,6 +56,7 @@ def _pipeline_query(table: str) -> Callable[[SparkSession, str], DataFrame]:
             "nodes": ["node_id", "kind", "name", "url", "title"],
             "edges": ["src", "dst", "rel", "weight"],
             "topic_map": ["phrase_norm", "broad_topic"],
+            "entity_map": ["name", "canonical", "n_docs"],
         }[table]
         return cat.read(spark, table).select(*cols)
 
@@ -70,7 +71,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_graph_nodes"] = _pipeline_query("nodes")
     q["kg_graph_edges"] = _pipeline_query("edges")
     q["kg_topic_map"] = _pipeline_query("topic_map")
+    q["kg_entity_map"] = _pipeline_query("entity_map")
+    q["kg_partition_metrics"] = _partition_metrics_query
     return q
+
+
+def _partition_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage + metrics rows from the catalog manifests
+    (FIXTURES.md §7 `_metrics`; north_star 'per-partition lineage and metrics')."""
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.plans.pipeline import run_pipeline
+
+    cat = run_pipeline(spark, sf_dir, _out_root(sf_dir))
+    rows = []
+    for table in ("enriched", "topic_map", "entity_map", "triples", "nodes", "edges"):
+        rows.extend(cat.metrics(table))
+    return spark.createDataFrame(rows).select(
+        "table", "partition_id", "stage", "snapshot_id", "rows_written", "wall_ms"
+    )
 
 
 def oracle_sql() -> dict[str, str]:

@@ -88,8 +88,10 @@ def _connected_components_distributed(sym: DataFrame, max_iter: int) -> DataFram
             )
             .localCheckpoint(eager=True)
         )
+        # order-independent, overflow-free one-scalar signature of the label set
+        # (ANSI mode: sum(xxhash64) can overflow long; XOR cannot)
         sig = jumped.select(
-            F.sum(F.xxhash64("node", "component")).alias("s")
+            F.bit_xor(F.xxhash64("node", "component")).alias("s")
         ).collect()[0]["s"]
         labels = jumped
         if sig == prev_sig:

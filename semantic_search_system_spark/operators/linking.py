@@ -82,3 +82,47 @@ def candidate_edges(
         .where(F.col("sim") >= F.lit(float(threshold)))
         .select("src", "dst", "sim")
     )
+
+
+def fuzzy_candidate_edges(
+    names: DataFrame,
+    name_col: str = "name",
+    max_edit_distance: int = 1,
+    prefix_len: int = 3,
+    n_salt: int = 8,
+    hot_block_limit: int = 4096,
+) -> DataFrame:
+    """Entity-linking edges by string similarity: block on the name prefix,
+    link when levenshtein <= max_edit_distance ('sparks'→'spark' style
+    variants). Same salted-hot-block pattern as candidate_edges — entity name
+    distributions are power-law, so a hot prefix bucket must not pin one task.
+
+    Used for single-token entity canonicalization where hashed embeddings are
+    orthogonal by construction and cosine carries no signal (SURVEY §2.3 J7
+    generalized; reference normalizes only strip+lower, knowledge_graph.py:51-55).
+    """
+    items = (
+        names.select(normalize_key_col(name_col).alias("name_norm"))
+        .where(F.col("name_norm") != "")
+        .dropDuplicates(["name_norm"])
+        .withColumn("block", F.substring("name_norm", 1, prefix_len))
+    )
+    sizes = items.groupBy("block").agg(F.count("*").alias("block_n"))
+    items = items.join(F.broadcast(sizes), "block")
+    hot = F.col("block_n") > hot_block_limit
+    left = items.withColumn(
+        "salt",
+        F.when(hot, F.pmod(F.xxhash64("name_norm"), F.lit(n_salt))).otherwise(F.lit(0)),
+    ).select("block", "salt", F.col("name_norm").alias("src"))
+    right = items.withColumn(
+        "salt",
+        F.explode(
+            F.when(hot, F.sequence(F.lit(0), F.lit(n_salt - 1))).otherwise(F.array(F.lit(0)))
+        ),
+    ).select("block", F.col("salt").cast("long").alias("salt"), F.col("name_norm").alias("dst"))
+    pairs = left.join(right, ["block", "salt"]).where(F.col("src") < F.col("dst"))
+    return (
+        pairs.withColumn("dist", F.levenshtein("src", "dst"))
+        .where(F.col("dist") <= max_edit_distance)
+        .select("src", "dst", "dist")
+    )

@@ -235,6 +235,42 @@ def build_graph(
     return cat.read(spark, "nodes"), cat.read(spark, "edges")
 
 
+# --------------------------------------------------------------------- stage 2b
+def build_entity_map(spark: SparkSession, cat: Catalog, enriched: DataFrame) -> DataFrame:
+    """Canonicalize ENTITIES: candidate links by string similarity within
+    salted prefix blocks → connected components → canonical id = lexicographic
+    min member (north_star: 'scores candidate entity links ... canonicalizes
+    entities via connected-components over a similarity edge list').
+
+    Kept separate from the triple set: MENTIONS triples carry the surface form
+    (matching the reference fixture semantics); the entity_map table provides
+    the canonical id per surface form plus its corpus frequency for downstream
+    graph consolidation."""
+    if not cat.exists("entity_map"):
+        from ..operators.linking import fuzzy_candidate_edges
+
+        ents = (
+            enriched.select(F.explode("entities").alias("e"))
+            .select(F.lower(F.trim(F.col("e.text"))).alias("name"))
+            .where(F.col("name") != "")
+            .groupBy("name")
+            .agg(F.count("*").alias("n_docs"))
+            .localCheckpoint(eager=True)  # reused by edges + join-back
+        )
+        edges = fuzzy_candidate_edges(ents, "name")
+        comps = connected_components(edges)
+        mapped = (
+            ents.join(comps, ents["name"] == comps["node"], "left")
+            .select(
+                "name",
+                F.coalesce(F.col("component"), F.col("name")).alias("canonical"),
+                "n_docs",
+            )
+        )
+        cat.commit_partitions(with_bucket(mapped, "name", 1), "entity_map", stage="entity_link")
+    return cat.read(spark, "entity_map")
+
+
 def ensure_enriched(spark: SparkSession, sf_dir: str, out_root: str) -> DataFrame:
     """Materialize (or read back) just the enriched stage — the search layer's
     input table (PR_META_VECTOR_IDX analog) without the canonicalization stages."""
@@ -248,6 +284,7 @@ def run_pipeline(
     cat = Catalog(out_root)
     enriched = build_enriched(spark, sf_dir, cat, n_buckets)
     topic_map = build_topic_map(spark, cat, enriched)
+    build_entity_map(spark, cat, enriched)
     triples = build_triples(spark, cat, enriched, topic_map, n_buckets)
     build_graph(spark, cat, enriched, triples)
     return cat

@@ -85,3 +85,34 @@ def test_per_partition_metrics_exist(built):
     assert len(m) == 8  # N_BUCKETS
     assert all(e["rows_written"] > 0 for e in m)
     assert sum(e["rows_written"] for e in m) == 500
+
+
+def test_entity_map_canonicalization(spark, tmp_root):
+    """Fuzzy entity linking: near-identical surface forms share a canonical id."""
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.plans.pipeline import build_entity_map
+
+    rows = [
+        ([("spark", "ENTITY"), ("sparks", "ENTITY")],),
+        ([("spark", "ENTITY"), ("zebra", "ENTITY")],),
+    ]
+    enr = spark.createDataFrame(
+        rows, "entities array<struct<text:string,label:string>>"
+    )
+    cat = Catalog(tmp_root)
+    m = {r["name"]: r["canonical"] for r in build_entity_map(spark, cat, enr).collect()}
+    assert m["spark"] == m["sparks"] == "spark"  # lev 1 within prefix block
+    assert m["zebra"] == "zebra"
+
+
+def test_entity_map_on_corpus(built):
+    spark, cat, _ = built
+    from semantic_search_system_spark.plans.pipeline import build_entity_map
+
+    em = build_entity_map(spark, cat.read(spark, "enriched"), cat) if False else cat.read(spark, "entity_map")
+    rows = em.collect()
+    assert len(rows) > 0
+    # every surface form has a canonical form; canonical is a member name
+    names = {r["name"] for r in rows}
+    assert all(r["canonical"] in names for r in rows)
+    assert all(r["n_docs"] > 0 for r in rows)

@@ -1,0 +1,63 @@
+"""Physical-plan assertions: the properties that matter at 100 TB must be
+visible in the plan, not assumed — filter/projection pushdown to the parquet
+scan, broadcast joins for vocabulary-sized dims, TakeOrderedAndProject for
+top-k, no partition-less window anywhere on the search path."""
+
+from pyspark.sql import functions as F
+
+from semantic_search_system_spark import entrypoints as ep
+from semantic_search_system_spark.operators.components import connected_components
+
+from conftest import SF_MED, SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_and_projection_pushdown(spark):
+    df = ep.registry()["filter_project"](spark, SF_MED)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters:")[1].splitlines()[0]
+    # column pruning: the scan reads only the needed columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderdate" not in read_schema and "o_custkey" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(ep.registry()["join_customer_region"](spark, SF_MED))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(ep.registry()["knn_cosine_top10"](spark, SF_MED))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_search_path_has_no_global_window(spark):
+    for name in ("search_pro", "search_kb", "search_advanced", "search_pro_enhanced"):
+        plan = _plan(ep.registry()[name](spark, SF_MED))
+        assert "Window" not in plan, name  # global windows single-partition at scale
+
+
+def test_extraction_twin_plan_shape(spark):
+    plan = _plan(ep.registry()["top5_entities_per_doc"](spark, SF_MED))
+    # map-side partial aggregation before the shuffle (A1 at scale)
+    assert "partial_count" in plan
+    # rank-limit pushdown: top-5 filtered BEFORE the shuffle, not after
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_cc_distributed_equals_driver(spark):
+    """The distributed pointer-jumping path and the driver union-find fast path
+    compute identical components on the same (non-trivial) graph."""
+    import random
+
+    rng = random.Random(42)
+    edges = [(f"n{rng.randrange(400):03d}", f"n{rng.randrange(400):03d}") for _ in range(300)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    drv = {r["node"]: r["component"] for r in connected_components(edf, strategy="driver").collect()}
+    dist = {r["node"]: r["component"] for r in connected_components(edf, strategy="distributed").collect()}
+    assert drv == dist and len(drv) > 100
