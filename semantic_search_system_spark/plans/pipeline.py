@@ -31,8 +31,9 @@ from .. import spec
 from ..catalog import BUCKET_COL, Catalog, with_bucket
 from ..fixtures.interleave import interleaved_path
 from ..operators.components import connected_components
-from ..operators.embedding import embed_udf, with_embedding
-from ..operators.extraction import assemble_content, extract_entities_topics
+from ..operators.embedding import embed_udf
+from ..operators.enrichment import enrich_content
+from ..operators.extraction import assemble_content
 from ..operators.linking import candidate_edges
 
 N_BUCKETS = 8
@@ -55,8 +56,6 @@ def build_enriched(spark: SparkSession, sf_dir: str, cat: Catalog, n_buckets: in
         par = spark.sparkContext.defaultParallelism
         if docs.rdd.getNumPartitions() < par:
             docs = docs.repartition(par, "doc_id")
-        from ..operators.enrichment import enrich_content
-
         enriched = enrich_content(assemble_content(docs))
         enriched = enriched.select(
             BUCKET_COL, "doc_id", "url", "title", "doc_date", "content", "summary",
