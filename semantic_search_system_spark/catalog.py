@@ -98,6 +98,11 @@ class Catalog:
         t0 = time.time()
         table_dir = self.path(table)
         os.makedirs(table_dir, exist_ok=True)
+        # a run killed mid-write leaves orphaned staging dirs; they are never
+        # readable (read() selects only bucket= dirs) — reclaim them here
+        for d in os.listdir(table_dir):
+            if d.startswith("_staging_"):
+                shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
         staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
 

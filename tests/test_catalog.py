@@ -72,3 +72,22 @@ def test_json_source_sink_roundtrip(spark, tmp_root):
     back = spark.read.schema("id long, name string").json(path)
     assert back.count() == 10
     assert {r["name"] for r in back.collect()} == {f"u{i}" for i in range(10)}
+
+
+def test_crash_mid_write_recovers(spark, tmp_root, sample):
+    """A run killed mid-commit (orphan staging dir + missing manifest entries)
+    must resume cleanly: orphans reclaimed, pending partitions recomputed,
+    final table identical to an uninterrupted run."""
+    cat = Catalog(tmp_root)
+    # simulate a crash: half the buckets committed, plus an orphaned staging dir
+    cat.commit_partitions(sample.where(F.col(BUCKET_COL) < 2), "t", stage="s1")
+    orphan = os.path.join(cat.path("t"), "_staging_deadbeef")
+    os.makedirs(os.path.join(orphan, f"{BUCKET_COL}=3"), exist_ok=True)
+    with open(os.path.join(orphan, f"{BUCKET_COL}=3", "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert cat.pending_buckets("t", 4) == [2, 3]
+    # resume: only pending buckets written; orphan reclaimed
+    cat.commit_partitions(sample.where(F.col(BUCKET_COL).isin([2, 3])), "t", stage="s1")
+    assert not any(d.startswith("_staging_") for d in os.listdir(cat.path("t")))
+    assert cat.read(spark, "t").count() == 100
+    assert cat.completed_buckets("t") == {0, 1, 2, 3}
