@@ -716,6 +716,46 @@ def media_attrs_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_lines, round(sum(l_quantity), 2) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables co-locate the join: both sides written bucketBy(8, key)
+    so the SortMergeJoin needs NO Exchange (the at-scale strategy for repeated
+    doc-scale joins; guide 'Partitioning & shuffle'). Result is identical to
+    the plain join — bucketing is purely physical."""
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_li, t_o = f"b_lineitem_{sf}", f"b_orders_{sf}"
+    for t, src, key in ((t_li, "lineitem", "l_orderkey"), (t_o, "orders", "o_orderkey")):
+        if not spark.catalog.tableExists(t):
+            # the warehouse dir outlives the in-memory catalog — reclaim a
+            # location left by a previous session before re-creating
+            import shutil
+
+            loc = os.path.join(
+                spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), t
+            )
+            shutil.rmtree(loc, ignore_errors=True)
+            (
+                load(spark, sf_dir, src)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(t)
+            )
+    li, o = spark.table(t_li), spark.table(t_o)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@query(
     "month_windows",
     oracle="""
     SELECT y, m,

@@ -54,6 +54,10 @@ def get_spark(
         # Deterministic oracle comparison (duckdb timestamps are UTC-naive).
         "spark.sql.session.timeZone": "UTC",
         "spark.ui.enabled": "false",
+        # bucketed-table warehouse (co-located joins); deployment-specific
+        "spark.sql.warehouse.dir": os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/sss_spark_warehouse"
+        ),
         # Scan-split sizing: 32 MiB yields enough splits to keep every core
         # busy on this engine's document corpora (span arrays expand ~4-8x in
         # memory vs parquet bytes); raise via env for wide-row workloads.

@@ -61,3 +61,40 @@ def test_cc_distributed_equals_driver(spark):
     drv = {r["node"]: r["component"] for r in connected_components(edf, strategy="driver").collect()}
     dist = {r["node"]: r["component"] for r in connected_components(edf, strategy="distributed").collect()}
     assert drv == dist and len(drv) > 100
+
+
+def test_cc_pointer_jumping_converges_logarithmically(spark):
+    """A 256-node chain converges in O(log n) propagation rounds thanks to
+    pointer jumping — plain min-label propagation would need 256 rounds
+    (max_iter=14 would fail without it)."""
+    n = 256
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i+1:04d}") for i in range(n)], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, strategy="distributed", max_iter=14).collect()
+    }
+    assert set(got.values()) == {"n0000"}
+    assert len(got) == n + 1
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed on the join key → no shuffle feeds the join.
+
+    At sf0.01 Catalyst broadcasts the small side (also shuffle-free); with
+    broadcast disabled the bucketed SortMergeJoin must run WITHOUT exchanges —
+    the property that matters when both sides are doc-scale."""
+    df = ep.registry()["bucketed_colocated_join"](spark, SF_MED)
+    plan = _plan(df)
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan2 = _plan(ep.registry()["bucketed_colocated_join"](spark, SF_MED))
+        assert "SortMergeJoin" in plan2
+        assert "Exchange hashpartitioning(l_orderkey" not in plan2
+        assert "Exchange hashpartitioning(o_orderkey" not in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
