@@ -716,6 +716,52 @@ def media_attrs_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_price_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (percentile_approx is the
+    at-scale variant; exact keeps the oracle engine-identical)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@query(
+    "customer_balance_stats",
+    oracle="""
+    SELECT n_name, round(avg(c_acctbal), 4) AS avg_bal,
+           round(stddev_samp(c_acctbal), 4) AS sd_bal,
+           count(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def customer_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution statistics per group (avg/stddev) over a broadcast join."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
     "bucketed_colocated_join",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_lines, round(sum(l_quantity), 2) AS qty
