@@ -311,7 +311,7 @@ def max_order_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT cast(date_trunc('month', ts) AS DATE) AS month, event_type, count(*) AS n,
            round(sum(value), 2) AS total_value,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
     FROM events GROUP BY 1, 2
     """,
 )
@@ -532,7 +532,7 @@ def doc_triples_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len
     FROM (
       SELECT doc_id, max(n_chars) AS n_chars, count(*) AS n_tokens,
-             sum(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS n_stop
+             CAST(sum(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
       FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS token FROM documents)
       GROUP BY doc_id)
     """,
@@ -562,7 +562,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
            lang AS lang_actual
     FROM (
       SELECT doc_id, max(lang) AS lang, count(*) AS n_tokens,
-             sum(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS n_stop
+             CAST(sum(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
       FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents)
       GROUP BY doc_id)
     """,
@@ -686,7 +686,7 @@ def media_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_attrs_per_doc",
     oracle=f"""
     SELECT doc_id,
-           sum(CASE WHEN s.kind <> 'text' THEN 1 ELSE 0 END) AS n_media,
+           CAST(sum(CASE WHEN s.kind <> 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
            max(s.offset) AS max_offset,
            coalesce(string_agg(CASE WHEN s.kind <> 'text' THEN s.media_ref END, ',' ORDER BY s.offset), '') AS media_refs
     FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{ORACLE_INTERLEAVED}'))
@@ -825,7 +825,7 @@ def month_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_props_extract",
     oracle="""
-    SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_k,
+    SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -844,10 +844,10 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_pivot_manual",
     oracle="""
     SELECT user_id,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
     FROM events GROUP BY user_id
     """,
 )

@@ -5,6 +5,8 @@ driver hashes values)."""
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 
@@ -24,13 +26,30 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    """Type-TAGGED normalization mirroring the driver's value hash: the driver
+    fetches DuckDB results through Arrow, where an uncast HUGEINT sum() arrives
+    as Decimal/float and hashes differently from Spark's LONG — so int, float,
+    and Decimal must NOT collapse to the same string here (the round-1 replica
+    blind spot, VERDICT.md 'What's wrong' #2)."""
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        # driver hashes values; our rounding happens in the queries themselves —
-        # here we canonicalize the float text form only
-        return f"{v:.9g}"
-    return str(v)
+            return "f:nan"
+        return f"f:{v:.9g}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"dt:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "l:[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):  # Spark Row / arrow struct → dict
+        return "s:{" + ",".join(f"{k}={_norm_cell(v[k])}" for k in sorted(v)) + "}"
+    return f"o:{v}"
 
 
 def canonical_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
@@ -45,7 +64,10 @@ def compare(spark_df, oracle_sql: str, con: duckdb.DuckDBPyConnection) -> dict:
     s_cols = spark_df.columns
     rel = con.sql(oracle_sql)
     d_cols = list(rel.columns)
-    d_rows = [tuple(r) for r in rel.fetchall()]
+    # Fetch through Arrow, as the driver does: HUGEINT/DECIMAL stay Decimal
+    # here (they'd be silently converted to lossless Python ints by fetchall()).
+    d_tbl = rel.arrow()
+    d_rows = [tuple(d[c] for c in d_cols) for d in d_tbl.to_pylist()]
     sc, sr = canonical_rows(s_cols, s_rows)
     dc, dr = canonical_rows(d_cols, d_rows)
     return {
