@@ -84,7 +84,11 @@ class Catalog:
 
     # ------------------------------------------------------------- checkpoint state
     def completed_buckets(self, table: str) -> set[int]:
-        return {int(k) for k in self.manifest(table)["partitions"]}
+        # streaming tables use epoch-scoped string keys ("<epoch>_<bucket>");
+        # only plain integer buckets participate in batch resume planning
+        return {
+            int(k) for k in self.manifest(table)["partitions"] if k.lstrip("-").isdigit()
+        }
 
     def pending_buckets(self, table: str, n_buckets: int) -> list[int]:
         done = self.completed_buckets(table)

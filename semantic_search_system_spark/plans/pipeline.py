@@ -179,7 +179,11 @@ def build_graph(
     spark: SparkSession, cat: Catalog, enriched: DataFrame, triples: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
     """Materialize deduplicated node/edge tables (the Neo4j model of
-    knowledge_graph.py:113-126 as two columnar tables; SURVEY.md §1.2)."""
+    knowledge_graph.py:113-126 as two columnar tables; SURVEY.md §1.2).
+
+    Nodes and edges are gated INDEPENDENTLY: a run killed between the two
+    commits must still write edges on resume (a single shared gate would skip
+    the stage forever and leave cat.read('edges') permanently broken)."""
     if not cat.exists("nodes"):
         doc_nodes = enriched.select(
             F.col("doc_id").alias("node_id"),
@@ -222,6 +226,7 @@ def build_graph(
         nodes = doc_nodes.unionByName(entity_nodes).unionByName(topic_nodes)
         cat.commit_partitions(with_bucket(nodes, "node_id", N_BUCKETS), "nodes", stage="graph")
 
+    if not cat.exists("edges"):
         # the triples table is already unique on (subj, pred, obj) — a rename
         # projection, no dedup shuffle
         edges = triples.select(

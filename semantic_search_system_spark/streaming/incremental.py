@@ -63,12 +63,19 @@ def enrich_stream(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         enriched = extract_entities_topics(with_embedding(assemble_content(batch_df)))
-        enriched = with_bucket(enriched, "doc_id", n_buckets).select(
+        enriched = with_bucket(enriched, "doc_id", n_buckets)
+        # Epoch-scope the partition key: each micro-batch owns its own
+        # `<epoch>_<bucket>` partitions. A replayed epoch (foreachBatch may
+        # re-deliver after a failure) hits already-manifested keys and is
+        # skipped (exactly-once effective); a NEW epoch always lands in fresh
+        # partitions — without this, epoch 1 claims all n_buckets keys and
+        # every later micro-batch would be silently dropped.
+        enriched = enriched.withColumn(
+            "bucket", F.concat_ws("_", F.lit(int(epoch_id)), F.col("bucket"))
+        ).select(
             "bucket", "doc_id", "url", "title", "doc_date", "content", "summary",
             "entities", "topics", "embedding", "media_refs",
         )
-        # idempotent: completed partitions are never rewritten, so epoch replays
-        # after a failure cannot duplicate rows
         cat.commit_partitions(enriched, "enriched_stream", stage=f"stream_epoch_{epoch_id}")
 
     return (

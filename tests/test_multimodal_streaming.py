@@ -74,6 +74,38 @@ def test_enrich_stream_matches_batch(spark, tmp_root):
     assert s_rows == b_rows and len(s_rows) == 500
 
 
+def test_enrich_stream_multi_epoch_no_data_loss(spark, tmp_root):
+    """Regression (ADVICE r01 high): with >maxFilesPerTrigger input files the
+    stream runs multiple epochs; epoch 1 must NOT claim all manifest buckets
+    and silently drop every later micro-batch. 8 input files at
+    maxFilesPerTrigger=4 forces >=2 epochs; streamed output must equal the
+    full corpus."""
+    import os
+
+    from semantic_search_system_spark.catalog import Catalog
+
+    # re-write the sf0.001 corpus as 8 separate parquet files
+    multi_dir = os.path.join(tmp_root, "multi_file_input")
+    spark.read.parquet(interleaved_path(SF_SMALL)).repartition(8).write.parquet(multi_dir)
+    n_files = len([f for f in os.listdir(multi_dir) if f.endswith(".parquet")])
+    assert n_files == 8
+
+    q = enrich_stream(
+        spark,
+        multi_dir,
+        os.path.join(tmp_root, "out"),
+        os.path.join(tmp_root, "ckpt"),
+    )
+    q.awaitTermination(180)
+    cat = Catalog(os.path.join(tmp_root, "out"))
+    man = cat.manifest("enriched_stream")
+    epochs = {e["stage"] for e in man["snapshots"]}
+    assert len(epochs) >= 2, f"expected multiple epochs, got {epochs}"
+    streamed = cat.read(spark, "enriched_stream")
+    assert streamed.count() == 500
+    assert streamed.select("doc_id").distinct().count() == 500
+
+
 def test_windowed_event_metrics_batch_semantics(spark):
     ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
     out = windowed_event_metrics(ev)

@@ -69,6 +69,19 @@ def test_mid_run_resume_recomputes_only_downstream(built):
     assert len(_triples(spark, cat2)) == golden_count  # byte-identical rebuild
 
 
+def test_crash_between_nodes_and_edges_resumes_edges(built):
+    """A run killed after the nodes commit but before the edges commit must
+    still materialize edges on resume — nodes and edges are gated
+    independently (ADVICE r01: a single shared `exists("nodes")` gate left
+    cat.read('edges') permanently broken after such a crash)."""
+    spark, cat, root = built
+    n_edges = cat.read(spark, "edges").count()
+    shutil.rmtree(os.path.join(root, "edges"))  # simulate the mid-stage crash
+    cat2 = run_pipeline(spark, SF_SMALL, root)
+    assert cat2.exists("edges")
+    assert cat2.read(spark, "edges").count() == n_edges
+
+
 def test_determinism_two_full_runs(spark, tmp_path_factory):
     r1 = str(tmp_path_factory.mktemp("det1"))
     r2 = str(tmp_path_factory.mktemp("det2"))
