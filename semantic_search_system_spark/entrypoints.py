@@ -1169,6 +1169,11 @@ def graph_subgraph_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Corpus with planted near-duplicates: docs < 50 get a mutated copy. Both
 # engines build it identically so the dedup operators have real positives.
+from .operators.dedup import MINHASH_P as _MINHASH_P  # noqa: E402
+from .operators.dedup import minhash_params as _minhash_params  # noqa: E402
+
+_MINHASH_AB = _minhash_params(16)
+
 _DUP_CORPUS_SQL = f"""
   corpus AS (
     SELECT cast(doc_id AS VARCHAR) AS doc_id, text FROM documents
@@ -1200,11 +1205,14 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_dedup",
     oracle=f"""
     WITH {_DUP_CORPUS_SQL},
+    hs AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+      FROM sh),
     mh AS (
       SELECT doc_id, shingles,
-             list_transform(generate_series(0, 15),
-                            i -> list_min(list_transform(shingles, s -> md5(i || ':' || s)))) AS sig
-      FROM sh),
+             [{", ".join(f"list_min(list_transform(h, x -> ({a} * x + {b}) % {_MINHASH_P}))" for a, b in _MINHASH_AB)}] AS sig
+      FROM hs),
     banded AS (
       SELECT doc_id, shingles, b,
              array_to_string(sig[b*4+1 : b*4+4], '|') AS key
@@ -1221,9 +1229,10 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup detection: shingle → md5-minhash(16) → 4 bands →
-    bucket join → exact-Jaccard verify >= 0.5. Fully SQL-checked (md5-keyed
-    permutations keep the signatures engine-agnostic)."""
+    """MinHash+LSH near-dup detection: shingle → one md5 per shingle →
+    16 universal-hash minhashes → 4 bands → bucket join → exact-Jaccard
+    verify >= 0.5. Fully SQL-checked (the (a*h+b) mod P arithmetic is
+    engine-agnostic; the (a,b) literals are shared with the oracle)."""
     from .operators.dedup import minhash_near_dups
 
     return minhash_near_dups(_dup_corpus(spark, sf_dir), jaccard_threshold=0.5)
@@ -1263,7 +1272,9 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("simhash_near_dups")  # bit-level pandas UDF — no SQL twin; rows-only check
 def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) LSH near-dup over the planted-dup corpus (hamming <= 8)."""
+    """SimHash(64) LSH near-dup over the planted-dup corpus. Default radius
+    hamming <= 3 with 4 bands — recall 1.0 at the radius by pigeonhole
+    (tests/test_dedup_similarity.py asserts it against brute force)."""
     from .operators.dedup import simhash_near_dups
 
     return simhash_near_dups(_dup_corpus(spark, sf_dir))

@@ -7,15 +7,18 @@ MinHash/SimHash bucket by band keys so only same-bucket pairs are compared;
 Jaccard and cosine near-dup join on blocking keys. AQE skew-join handles hot
 buckets (a degenerate band key — e.g. all-empty docs — is the classic skew).
 
-Engine-agnostic hashing: MinHash permutations use md5 (hex strings compare in
-the same order as their numeric value, so ``min`` over hex strings IS the
-minhash) — this keeps the operator reproducible in the DuckDB oracle, unlike
-xxhash64. SimHash uses a vectorized pandas UDF (bit math over md5 digests).
+Engine-agnostic hashing: each shingle is hashed ONCE (md5 → low 32 bits) and
+the MinHash "permutations" are derived with universal hashing
+``(a_i * h + b_i) mod P`` — pure 64-bit-safe integer arithmetic that DuckDB
+reproduces exactly, and a 16x reduction in md5 evaluations versus hashing
+per-(permutation, shingle) (round-1 bench: the md5 grid was 31% of the
+headline). SimHash uses a vectorized pandas UDF (bit math over md5 digests).
 """
 
 from __future__ import annotations
 
 import hashlib
+import random
 
 import numpy as np
 import pandas as pd
@@ -25,10 +28,27 @@ from pyspark.sql import types as T
 
 from ..functions.text import clean_text_col
 
+# Universal-hash family for MinHash: sig[i] = min_s ((A_i*h(s) + B_i) mod P),
+# h(s) = int(md5(s)[:8], 16) < 2^32. P is the first prime above 2^32; A_i < 2^31
+# keeps A_i*h < 2^63 (no overflow under Spark 4 ANSI mode). The (A, B) table is
+# a fixed seeded draw so Spark and the DuckDB oracle share identical literals.
+MINHASH_P = 4294967311
+
+
+def minhash_params(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31)) for _ in range(n_perm)]
+
 # ------------------------------------------------------------------ shingles
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc as array<string> (native HOFs)."""
-    toks = F.split(clean_text_col(F.col(text_col)), " ")
+    """Distinct word n-gram shingles per doc as array<string> (native HOFs).
+
+    The token array is bound as a REAL COLUMN first, never inlined into the
+    transform lambda: a raw `F.split(...)` expression referenced from the
+    per-index lambda body is re-evaluated once per shingle position (~T× the
+    regex+split work per doc — this, not hashing, was 15 s of the round-1
+    sf0.1 bench; bound as a column it is evaluated once per row, 0.5 s)."""
+    toks = F.col("_toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     shingles = F.when(
         F.size(toks) >= n,
@@ -36,24 +56,37 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
-    return df.withColumn("shingles", shingles)
+    return (
+        df.withColumn("_toks", F.split(clean_text_col(F.col(text_col)), " "))
+        .withColumn("shingles", shingles)
+        .drop("_toks")
+    )
 
 
 # ------------------------------------------------------------------ MinHash + LSH
-def with_minhash(df: DataFrame, n_perm: int = 16) -> DataFrame:
-    """MinHash signature via md5-keyed 'permutations', all native expressions:
-    sig[i] = min over shingles of md5(i || ':' || shingle) (hex order ≡ numeric
-    order for fixed-length hex)."""
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_perm - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
-            )
-        ),
+def with_minhash(df: DataFrame, id_col: str = "doc_id", n_perm: int = 16) -> DataFrame:
+    """MinHash signatures via explode + codegen'd aggregation — (id_col, minhash).
+
+    sig[i] = min_s ((A_i*h(s) + B_i) mod P), h(s) = int(md5(s)[:8], 16): ONE
+    md5 per shingle, then n_perm multiply-mod minima as plain ``groupBy.agg``
+    expressions. Deliberately NOT array higher-order functions: HOFs are
+    CodegenFallback in Spark — per-element interpreted evaluation made the
+    signature stage ~16 s at sf0.1 regardless of how few md5 calls it issued;
+    the explode + min-agg form is whole-stage-codegen end to end (~0.5 s).
+    When ``df`` is already hash-partitioned by id_col the groupBy reuses that
+    partitioning (no exchange); at cluster scale the mins are map-side-combined
+    partial aggregates, so the shuffle carries n_perm longs per doc."""
+    params = minhash_params(n_perm)
+    ex = df.select(id_col, F.explode("shingles").alias("_s")).withColumn(
+        "_h", F.conv(F.substring(F.md5(F.col("_s")), 1, 8), 16, 10).cast("long")
     )
-    return df.withColumn("minhash", sig)
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return ex.groupBy(id_col).agg(*aggs).select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(n_perm)]).alias("minhash")
+    )
 
 
 def lsh_candidate_pairs(
@@ -68,7 +101,11 @@ def lsh_candidate_pairs(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda b: F.concat_ws(
-                    "|", F.slice(F.col("minhash"), b * rows + 1, rows)
+                    "|",
+                    F.transform(
+                        F.slice(F.col("minhash"), b * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
                 ),
             )
         ).alias("band", "key"),
@@ -94,17 +131,20 @@ def minhash_near_dups(
     """Full MinHash-LSH dedup: shingle → minhash → band-bucket join → verify
     candidates with EXACT shingle Jaccard (no false positives leave the op).
 
-    The signature table is computed ONCE (repartitioned to all cores, then
-    checkpointed) — it is consumed three times downstream (two banded join
-    sides + the verify join) and recomputing the md5 permutations per branch
-    would multiply the dominant cost."""
+    The shingle table is computed ONCE (repartitioned to all cores, then
+    checkpointed) — it is consumed twice (signature aggregation + the verify
+    join) and recomputing the trigram construction per branch was the round-1
+    bench's dominant cost. Signatures are derived from the checkpoint with a
+    codegen'd explode + min aggregation (see with_minhash) and checkpointed
+    themselves before fanning out into the two banded join sides."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     sh = (
-        with_minhash(with_shingles(docs.repartition(par, id_col), text_col), n_perm)
-        .select(id_col, "shingles", "minhash")
+        with_shingles(docs.repartition(par, id_col), text_col)
+        .select(id_col, "shingles")
         .localCheckpoint(eager=True)
     )
-    cand = lsh_candidate_pairs(sh, id_col, n_perm, n_bands)
+    sig = with_minhash(sh, id_col, n_perm).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(sig, id_col, n_perm, n_bands)
     a = sh.select(F.col(id_col).alias("src"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("dst"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -187,31 +227,44 @@ def simhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
-    n_bands: int = 4,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup: 64-bit fingerprint (Arrow-vectorized UDF), then LSH on
-    16-bit bands — a pair within Hamming distance <= 3 shares at least one of 4
-    bands (pigeonhole); verified with exact popcount on the XOR."""
+    """SimHash near-dup: 64-bit fingerprint (Arrow-vectorized UDF), then LSH
+    banding with a GUARANTEED recall contract: the fingerprint is split into
+    ``n_bands = max_hamming + 1`` bit-bands, so any pair within the radius has
+    at most max_hamming differing bits and by pigeonhole shares at least one
+    band verbatim — recall 1.0 at the advertised radius (candidates are then
+    verified with exact popcount on the XOR, so no false positives either).
+    Round-1 shipped 4 bands with max_hamming=8, silently missing pairs at
+    distance 4-8 (VERDICT r01); bands are now derived from the radius."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall at hamming<={max_hamming}; "
+            f"need n_bands >= {max_hamming + 1}"
+        )
     par = docs.sparkSession.sparkContext.defaultParallelism
     fp = (
         docs.repartition(par, id_col)
         .select(F.col(id_col), simhash_udf(F.col(text_col)).alias("fp"))
         .localCheckpoint(eager=True)
     )
-    width = 64 // n_bands
-    mask = (1 << width) - 1
+    # distribute 64 bits across bands (widths differ by at most 1)
+    base, rem = divmod(64, n_bands)
+    widths = [base + (1 if i < rem else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    keys = [
+        F.col("fp")
+        if w == 64
+        else F.shiftrightunsigned(F.col("fp"), off).bitwiseAND(F.lit((1 << w) - 1))
+        for off, w in zip(offsets, widths)
+    ]
     banded = fp.select(
         id_col,
         "fp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("fp"), b * width).bitwiseAND(F.lit(mask))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "key"),
+        F.posexplode(F.array(*keys)).alias("band", "key"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -240,24 +293,46 @@ def embedding_near_dups(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Cosine near-dup over an embedding column; blocked self-join when a
-    blocking key is given, else LSH-style sign-bucket on the top component."""
+    blocking key is given, else multi-probe blocking on the TOP-2 |component|
+    indices of each vector.
+
+    Recall contract of the default blocking: a pair is a candidate iff the two
+    vectors share at least one of their two largest-|component| indices. Truly
+    near-identical vectors (cosine >= 0.95) can swap rank 1 and 2 under small
+    perturbations — probing both covers that failure mode (round-1 used the
+    single argmax and dropped such pairs, VERDICT r01); pairs whose top-2 sets
+    are fully disjoint remain out of scope (pass an explicit block_col for
+    exhaustive-within-block semantics)."""
     d = docs.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    dedup_needed = False
     if block_col is None:
-        # cheap deterministic block: argmax |component| of the unit vector
-        idx = F.expr(
-            "array_position(transform(_v, x -> abs(x)), array_max(transform(_v, x -> abs(x))))"
+        absv = F.transform(F.col("_v"), lambda x: F.abs(x))
+        d = d.withColumn("_abs", absv)
+        i1 = F.array_position(F.col("_abs"), F.array_max(F.col("_abs")))
+        d = d.withColumn("_i1", i1)
+        # argmax of the remainder: mask out the winner, take argmax again
+        masked = F.transform(
+            F.col("_abs"),
+            lambda x, i: F.when(i + 1 == F.col("_i1"), F.lit(-1.0)).otherwise(x),
         )
-        d = d.withColumn("_blk", idx.cast("int"))
+        d = d.withColumn("_i2", F.array_position(masked, F.array_max(masked)))
+        d = d.select(
+            F.col(id_col),
+            "_v",
+            F.explode(F.array(F.col("_i1").cast("int"), F.col("_i2").cast("int"))).alias("_blk"),
+        )
         block_col = "_blk"
+        dedup_needed = True  # a pair sharing both probed keys joins twice
     a = d.select(F.col(block_col).alias("blk"), F.col(id_col).alias("src"), F.col("_v").alias("va"))
     b = d.select(F.col(block_col).alias("blk"), F.col(id_col).alias("dst"), F.col("_v").alias("vb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda s, v: s + v * v))
     nb = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda s, v: s + v * v))
-    return (
+    out = (
         a.join(b, "blk")
         .where(F.col("src") < F.col("dst"))
         .withColumn("cosine", F.round(dot / (na * nb), 6))
         .where(F.col("cosine") >= threshold)
         .select("src", "dst", "cosine")
     )
+    return out.dropDuplicates(["src", "dst"]) if dedup_needed else out
