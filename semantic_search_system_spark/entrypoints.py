@@ -1364,6 +1364,148 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(spark, cat, qvec, k=10, n_probe=2)
 
 
+@query(
+    "change_detection_fullouter",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_old
+      FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id, event_type),
+    n AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_new
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY user_id, event_type)
+    SELECT coalesce(o.user_id, n.user_id) AS user_id,
+           coalesce(o.event_type, n.event_type) AS event_type,
+           o.n_old, n.n_new,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                WHEN o.n_old <> n.n_new THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM o FULL OUTER JOIN n ON o.user_id = n.user_id AND o.event_type = n.event_type
+    """,
+)
+def change_detection_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: full-outer-join change detection with added/removed/changed/unchanged
+    classification — the taxonomy edit merge (explorer_app.py:498-508
+    pd.merge(how='left'), human_feedback.py:385-395 how='outer') as one
+    shuffle-on-key outer join over two snapshot aggregates."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    old = (
+        ev.where(F.col("ts") < cut)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_old"))
+    )
+    new = (
+        ev.where(F.col("ts") >= cut)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_new"))
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(
+        n,
+        (F.col("o.user_id") == F.col("n.user_id"))
+        & (F.col("o.event_type") == F.col("n.event_type")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("o.user_id"), F.col("n.user_id")).alias("user_id"),
+        F.coalesce(F.col("o.event_type"), F.col("n.event_type")).alias("event_type"),
+        F.col("o.n_old").alias("n_old"),
+        F.col("n.n_new").alias("n_new"),
+        F.when(F.col("o.user_id").isNull(), "added")
+        .when(F.col("n.user_id").isNull(), "removed")
+        .when(F.col("o.n_old") != F.col("n.n_new"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+
+
+@query(
+    "quarantine_failed_rows",
+    oracle=f"""
+    SELECT doc_id, 'enrich' AS stage, 'no_text_spans' AS reason
+    FROM (SELECT doc_id,
+                 len(list_filter(spans, s -> s.kind = 'text' AND s.text IS NOT NULL
+                                             AND trim(s.text) <> '')) AS n
+          FROM read_parquet('{ORACLE_INTERLEAVED}'))
+    WHERE coalesce(n, 0) = 0
+    """,
+)
+def quarantine_failed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 quarantine sweep: docs with no usable text span, in the shape the
+    pipeline commits to the Catalog ``failed_rows`` table (build_enriched
+    routes them there; tests/test_pipeline.py injects broken docs and asserts
+    the routing — this query is the direct relational twin)."""
+    from .operators.extraction import has_usable_text
+
+    df = spark.read.parquet(interleaved_path(sf_dir))
+    return df.where(~has_usable_text("spans")).select(
+        "doc_id", F.lit("enrich").alias("stage"), F.lit("no_text_spans").alias("reason")
+    )
+
+
+# Suffix-rule lemmatization-lite (C3): first matching rule wins. Each rule is
+# (suffix, replacement, min_token_len, excluded_endings). Deterministic and
+# expressed identically in Spark and the DuckDB oracle.
+_LEMMA_RULES: list[tuple[str, str, int, tuple[str, ...]]] = [
+    ("sses", "ss", 5, ()),
+    ("ies", "y", 5, ()),
+    ("ing", "", 6, ()),
+    ("ed", "", 5, ()),
+    ("s", "", 4, ("ss", "us", "is")),
+]
+
+
+def _lemma_spark(tok):
+    out = None
+    for suf, rep, min_len, excl in _LEMMA_RULES:
+        cond = tok.endswith(suf) & (F.length(tok) >= min_len)
+        for e in excl:
+            cond = cond & ~tok.endswith(e)
+        branch = F.concat(F.substring(tok, F.lit(1), F.length(tok) - len(suf)), F.lit(rep))
+        out = out.when(cond, branch) if out is not None else F.when(cond, branch)
+    return out.otherwise(tok)
+
+
+def _lemma_sql() -> str:
+    whens = []
+    for suf, rep, min_len, excl in _LEMMA_RULES:
+        cond = f"token LIKE '%{suf}' AND length(token) >= {min_len}"
+        for e in excl:
+            cond += f" AND token NOT LIKE '%{e}'"
+        whens.append(
+            f"WHEN {cond} THEN substring(token, 1, length(token) - {len(suf)}) || '{rep}'"
+        )
+    return "CASE " + " ".join(whens) + " ELSE token END"
+
+
+@query(
+    "lemma_token_counts",
+    oracle=f"""
+    SELECT doc_id, {_lemma_sql()} AS lemma, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT doc_id, unnest(string_split({_CLEAN_SQL}, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY doc_id, lemma
+    """,
+)
+def lemma_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 lemmatization-lite: deterministic suffix rules (sses→ss, ies→y,
+    -ing, -ed, -s with exclusions) over cleaned tokens, counted per doc —
+    the NLTK-lemmatizer stage of pr_local_nlp_pipeline.py:33-44 re-expressed
+    as pure native string expressions (SURVEY §2: 'suffix rules in SQL')."""
+    from .functions.text import clean_text_col
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(clean_text_col(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.select("doc_id", _lemma_spark(F.col("token")).alias("lemma"))
+        .groupBy("doc_id", "lemma")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # =====================================================================
 # Search strategies (SURVEY.md §2.10) over the enriched table
 # =====================================================================

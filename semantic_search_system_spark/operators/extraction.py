@@ -73,6 +73,22 @@ def ordered_spans(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     return df.withColumn(spans_col, back)
 
 
+def has_usable_text(spans_col: str = "spans"):
+    """Validity gate (F6 / §2.11): a doc is processable iff it carries at least
+    one non-null, non-blank text span. Rows failing this are routed to the
+    Catalog ``failed_rows`` quarantine table instead of being silently dropped
+    (the reference keeps a permanent-failure list, pr_aws_nlp.py:296-310)."""
+    return F.coalesce(
+        F.exists(
+            F.col(spans_col),
+            lambda s: (s["kind"] == "text")
+            & s["text"].isNotNull()
+            & (F.trim(s["text"]) != ""),
+        ),
+        F.lit(False),
+    )
+
+
 def assemble_content(df: DataFrame) -> DataFrame:
     """interleaved(doc_id, spans) → doc_id, text_spans, media_refs, content,
     title, summary, url, doc_date. All native expressions.

@@ -88,6 +88,21 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(batches, schema=MEDIA_FEATURES_SCHEMA)
 
 
+def failed_media_rows(features: DataFrame) -> DataFrame:
+    """decode_ok=false feature rows → quarantine-table shape (doc_id, stage,
+    reason); commit through the Catalog as ``failed_rows`` so the resume sweep
+    can retry/report them (pr_aws_nlp.py:296-310 failure-list analog)."""
+    return (
+        features.where(~F.col("decode_ok"))
+        .select(
+            "doc_id",
+            F.lit("media_decode").alias("stage"),
+            F.concat(F.lit("decode_failed:"), F.col("media_ref")).alias("reason"),
+        )
+        .distinct()
+    )
+
+
 def media_spans(interleaved: DataFrame) -> DataFrame:
     """Project the media spans out of the interleaved table (typed metadata)."""
     s = interleaved.select("doc_id", F.explode("spans").alias("s")).where(

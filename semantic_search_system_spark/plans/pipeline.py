@@ -56,7 +56,21 @@ def build_enriched(spark: SparkSession, sf_dir: str, cat: Catalog, n_buckets: in
         par = spark.sparkContext.defaultParallelism
         if docs.rdd.getNumPartitions() < par:
             docs = docs.repartition(par, "doc_id")
-        enriched = enrich_content(assemble_content(docs))
+        # §2.11 quarantine: docs with no usable text span go to the permanent
+        # failed_rows table (the pr_aws_nlp.py:296-310 failure-list analog) —
+        # committed per-bucket like every stage, so the resume sweep re-checks
+        # only pending buckets and never re-quarantines completed ones
+        from ..operators.extraction import has_usable_text
+
+        usable = has_usable_text("spans")
+        bad = docs.where(~usable).select(
+            BUCKET_COL,
+            "doc_id",
+            F.lit("enrich").alias("stage"),
+            F.lit("no_text_spans").alias("reason"),
+        )
+        cat.commit_partitions(bad, "failed_rows", stage="quarantine")
+        enriched = enrich_content(assemble_content(docs.where(usable)))
         enriched = enriched.select(
             BUCKET_COL, "doc_id", "url", "title", "doc_date", "content", "summary",
             "entities", "topics", "embedding", "media_refs",
