@@ -21,10 +21,37 @@ index, so:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_sim
+
+
+def _nearest_centroid_udf(cent_rows: list[tuple[int, list[float]]]):
+    """Arrow-vectorized nearest-centroid assignment: one matmul per batch
+    against the broadcast centroid matrix — embarrassingly parallel, zero
+    shuffle, no per-(vector, centroid) row blowup (the cross-join + HOF-cosine
+    form was interpreted per element and 8x the rows). Ties after 6-dp
+    rounding break to the LOWEST centroid id (matching the SQL oracle's
+    min(-csim, centroid_id)): centroids are sorted by id and np.argmax takes
+    the first maximum."""
+    cent_rows = sorted(cent_rows)
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in cent_rows])
+    cn = np.linalg.norm(C, axis=1)
+    Cn = C / np.where(cn == 0, 1.0, cn)[:, None]
+
+    @F.pandas_udf("long")
+    def assign(vs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        n = np.linalg.norm(M, axis=1)
+        Mn = M / np.where(n == 0, 1.0, n)[:, None]
+        sims = np.round(Mn @ Cn.T, 6)
+        return pd.Series(cids[np.argmax(sims, axis=1)])
+
+    return assign
 
 
 def brute_force_topk(
@@ -40,20 +67,11 @@ def brute_force_topk(
     )
 
 
-def _assignments(d: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
-    """Nearest-centroid assignment (max cosine, ties → lowest centroid id) as a
-    broadcast join + struct-min aggregation. Deliberately NOT a row_number
-    window: the min-struct agg is map-side combinable, so at cluster scale the
-    shuffle carries one row per vector instead of one per (vector, centroid)."""
-    scored = d.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        "centroid_id",
-        (-F.round(cosine_sim(F.col("_v"), F.col("cvec")), 6)).alias("ncsim"),
-    )
-    best = scored.groupBy(id_col).agg(
-        F.min(F.struct("ncsim", "centroid_id")).alias("b")
-    ).select(id_col, F.col("b.centroid_id").alias("centroid_id"))
-    return d.join(best, id_col).select(id_col, "centroid_id", "_v")
+def _assignments(d: DataFrame, cent_rows: list[tuple[int, list[float]]], id_col: str) -> DataFrame:
+    """(id, _v) + driver-held centroids → (id, centroid_id, _v); a single
+    narrow map (see _nearest_centroid_udf), no join, no shuffle."""
+    assign = _nearest_centroid_udf(cent_rows)
+    return d.select(id_col, assign(F.col("_v")).alias("centroid_id"), "_v")
 
 
 def kmeans_centroids(
@@ -62,30 +80,30 @@ def kmeans_centroids(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Deterministic Lloyd's k-means over DataFrame ops → (centroid_id, cvec).
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means → driver-held [(centroid_id, cvec)].
 
     Seeding: the first n_centroids vectors by id (a deterministic 'seed' the
     SQL oracle replays — Spark-ML KMeans(seed=...) is only deterministic per
-    partitioning and cannot be reproduced in DuckDB). Each iteration:
-    broadcast nearest-centroid assignment, then per-component means via
-    posexplode + avg (map-side combinable partial aggregation — the shuffle
-    carries (centroid, component) partial sums, never vectors). Means are
-    ROUNDED to 6 dp so the fixpoint is invariant to float summation order
-    across engines. Empty clusters drop out (both engines)."""
+    partitioning and cannot be reproduced in DuckDB). Each iteration is ONE
+    Spark job: vectorized nearest-centroid assignment (narrow map over the
+    broadcast centroid matrix), then per-component means via posexplode + avg
+    (map-side combinable — the shuffle carries (centroid, component) partial
+    sums, never vectors). Means are ROUNDED to 6 dp so the fixpoint is
+    invariant to float summation order across engines. Centroids live on the
+    driver between iterations (n_centroids ≈ √N rows — tiny by design, as in
+    classic distributed k-means). Empty clusters drop out (both engines)."""
     d = (
         vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
         .localCheckpoint(eager=True)  # consumed once per iteration + final assign
     )
-    cent = (
-        d.orderBy(F.asc(id_col))
-        .limit(n_centroids)
-        .select(F.col(id_col).cast("long").alias("centroid_id"), F.col("_v").alias("cvec"))
-        .localCheckpoint(eager=True)
-    )
+    cent_rows = [
+        (int(r[id_col]), list(r["_v"]))
+        for r in d.orderBy(F.asc(id_col)).limit(n_centroids).collect()
+    ]
     for _ in range(n_iter):
-        assigned = _assignments(d, cent, id_col)
-        cent = (
+        assigned = _assignments(d, cent_rows, id_col)
+        upd = (
             assigned.select("centroid_id", F.posexplode("_v").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
             .agg(F.avg("x").alias("m"))
@@ -95,9 +113,9 @@ def kmeans_centroids(
                 "centroid_id",
                 F.transform(F.col("pm"), lambda s: F.round(s["m"], 6)).alias("cvec"),
             )
-            .localCheckpoint(eager=True)  # break the iterative lineage chain
         )
-    return cent
+        cent_rows = sorted((int(r["centroid_id"]), list(r["cvec"])) for r in upd.collect())
+    return cent_rows
 
 
 def build_ivf_index(
@@ -115,12 +133,18 @@ def build_ivf_index(
     existing index is never rebuilt."""
     if cat.exists("ivf_centroids") and cat.exists("ivf_assign"):
         return
-    cent = kmeans_centroids(vectors, n_centroids, n_iter, id_col, vec_col)
+    cent_rows = kmeans_centroids(vectors, n_centroids, n_iter, id_col, vec_col)
+    cent = vectors.sparkSession.createDataFrame(
+        cent_rows, "centroid_id long, cvec array<double>"
+    )
     d = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
-    assigned = _assignments(d, cent, id_col)
+    assigned = _assignments(d, cent_rows, id_col)
     if not cat.exists("ivf_centroids"):
         cat.commit_partitions(
-            cent.withColumn("bucket", F.lit(0)), "ivf_centroids", stage="ivf_build"
+            # n_centroids rows — one task, not one per shuffle partition
+            cent.coalesce(1).withColumn("bucket", F.lit(0)),
+            "ivf_centroids",
+            stage="ivf_build",
         )
     if not cat.exists("ivf_assign"):
         cat.commit_partitions(
@@ -171,9 +195,12 @@ def ivf_topk(
     """Index-free inline IVF top-k (ad-hoc / tests); same math as the indexed
     path, nothing persisted."""
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    cent = kmeans_centroids(vectors, n_centroids, n_iter, id_col, vec_col)
+    cent_rows = kmeans_centroids(vectors, n_centroids, n_iter, id_col, vec_col)
+    cent = vectors.sparkSession.createDataFrame(
+        cent_rows, "centroid_id long, cvec array<double>"
+    )
     d = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
-    assignments = _assignments(d, cent, id_col)
+    assignments = _assignments(d, cent_rows, id_col)
     probed = (
         cent.select("centroid_id", F.round(cosine_sim(F.col("cvec"), qv), 6).alias("qsim"))
         .orderBy(F.desc("qsim"), F.asc("centroid_id"))
