@@ -77,6 +77,9 @@ _PRIORITY = [
     # full KG pipeline outputs (north rule) — rows-only (iterative CC, no SQL twin)
     "kg_pipeline_triples", "kg_graph_nodes", "kg_graph_edges",
     "kg_topic_map", "kg_entity_map", "kg_partition_metrics",
+    # HASH-CHECKED materialized-pipeline evidence (MENTIONS/HAS_TOPIC vs an
+    # independent DuckDB derivation from the raw interleaved spans)
+    "kg_triples_text_preds",
     # round-2 additions
     "change_detection_fullouter", "quarantine_failed_rows", "lemma_token_counts",
     # round-1 hash-fails, fixed this round — prove the fix
@@ -94,11 +97,14 @@ _PRIORITY = [
     "pricing_summary", "top_parts_per_supplier", "suppliers_per_nation",
     "nation_revenue_rank", "first_order_per_customer", "entity_position_backjoin",
     "asof_last_click_before_error", "spans_kind_counts", "span_sequence_invariant",
-    "month_windows", "minmax_normalize_orders", "centroid_per_label",
+    "month_windows", "minmax_normalize_orders",
     "fuzzy_nation_pairs", "order_price_quantiles", "semi_anti_customers",
     "bucketed_colocated_join",
 ]
 _TAIL = [
+    # A4 centroid math is now also hash-evidenced by ann_ivf_top10's k-means
+    # oracle; this twin was green in r01 and is unchanged
+    "centroid_per_label",
     # no-oracle rows-only entries and redundant twins of in-window queries;
     # all unchanged since their round-1 driver rows
     "simhash_near_dups", "topic_model_lda", "sliding_window_metrics",

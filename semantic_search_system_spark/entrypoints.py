@@ -1365,6 +1365,56 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kg_triples_text_preds",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               list_filter(spans, s -> s.kind = 'text' AND s.text IS NOT NULL),
+               s -> s.text), ' ') AS text
+      FROM read_parquet('{ORACLE_INTERLEAVED}')),
+    t AS (SELECT doc_id, string_split({_CLEAN_SQL}, ' ') AS toks FROM raw),
+    ent AS (
+      SELECT doc_id, token AS obj FROM (
+        SELECT doc_id, token, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY count(*) DESC, token ASC) AS rn
+        FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+        WHERE token <> '' AND token NOT IN ({_STOP_SQL})
+        GROUP BY doc_id, token) WHERE rn <= 5),
+    top AS (
+      SELECT doc_id, bigram AS obj FROM (
+        SELECT doc_id, bigram, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY count(*) DESC, bigram ASC) AS rn
+        FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+              FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t)
+              WHERE toks[i] NOT IN ({_STOP_SQL}) AND toks[i+1] NOT IN ({_STOP_SQL})
+                    AND toks[i] <> '' AND toks[i+1] <> '')
+        GROUP BY doc_id, bigram) WHERE rn <= 5)
+    SELECT doc_id AS subj, 'MENTIONS' AS pred, obj FROM ent
+    UNION ALL
+    SELECT doc_id AS subj, 'HAS_TOPIC' AS pred, obj FROM top
+    """,
+)
+def kg_triples_text_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED pipeline-output evidence: the MATERIALIZED triples table
+    (built by the full checkpointed pipeline — assemble → fused enrich UDF →
+    triple emission) filtered to its two SQL-derivable predicates, against an
+    independent DuckDB derivation from the raw interleaved spans. RELATES
+    triples flow through iterative connected-components and stay rows-only
+    (kg_pipeline_triples); the golden pandas oracle covers all three
+    (P/R = 1.0, tests/test_pipeline.py)."""
+    from .catalog import Catalog
+    from .plans.pipeline import run_pipeline
+
+    cat = run_pipeline(spark, sf_dir, out_root(sf_dir))
+    return (
+        cat.read(spark, "triples")
+        .where(F.col("pred") != spec.PRED_RELATES)
+        .select("subj", "pred", "obj")
+    )
+
+
+@query(
     "change_detection_fullouter",
     oracle="""
     WITH o AS (
