@@ -98,3 +98,35 @@ def test_bucketed_join_has_no_exchange(spark):
         assert "Exchange hashpartitioning(o_orderkey" not in plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_dedup_family_never_cartesian(spark):
+    """Every dedup/similarity operator must pair candidates through a
+    band/block equi-join — an all-pairs CartesianProduct in any of these
+    plans is a 100-TB outage, not a slowdown."""
+    for name in ("minhash_lsh_dedup", "ngram_jaccard_pairs", "simhash_near_dups",
+                 "embedding_near_dup"):
+        plan = _plan(ep.registry()[name](spark, SF_MED))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ivf_probe_scans_only_probed_partitions(spark, tmp_root):
+    """The indexed ANN probe must read only the n_probe matching
+    bucket=<centroid> directories (partition pruning at the file level)."""
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.operators.similarity import build_ivf_index
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cat = Catalog(tmp_root)
+    build_ivf_index(spark, e, cat, n_centroids=8, n_iter=2)
+    n_total = cat.read(spark, "ivf_assign").count()
+    hits = cat.read_buckets(
+        spark, "ivf_assign", sorted(cat.read(spark, "ivf_assign")
+                                    .select("centroid_id").distinct()
+                                    .toPandas()["centroid_id"])[:2]
+    )
+    assert hits.select("centroid_id").distinct().count() == 2
+    assert hits.count() < n_total  # strictly fewer rows than a full scan
+    plan = _plan(hits)
+    # the scan's file index must contain exactly the probed bucket dirs
+    assert "bucket=" in plan
