@@ -144,9 +144,18 @@ def minhash_near_dups(
         .localCheckpoint(eager=True)
     )
     sig = with_minhash(sh, id_col, n_perm).localCheckpoint(eager=True)
-    cand = lsh_candidate_pairs(sig, id_col, n_perm, n_bands)
-    a = sh.select(F.col(id_col).alias("src"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("dst"), F.col("shingles").alias("sh_b"))
+    cand = lsh_candidate_pairs(sig, id_col, n_perm, n_bands).localCheckpoint(eager=True)
+    # Prune the shingle table to candidate members BEFORE the verify join:
+    # near-dup candidates are a tiny fraction of the corpus, so without this
+    # the join would shuffle every doc's full shingle array on both sides
+    # (the round-1 scale nit). The semi-join's right side is candidate-sized —
+    # AQE turns it into a broadcast join at runtime.
+    touched = cand.select(F.col("src").alias(id_col)).union(
+        cand.select(F.col("dst").alias(id_col))
+    ).distinct()
+    sh_cand = sh.join(touched, id_col, "left_semi")
+    a = sh_cand.select(F.col(id_col).alias("src"), F.col("shingles").alias("sh_a"))
+    b = sh_cand.select(F.col(id_col).alias("dst"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
