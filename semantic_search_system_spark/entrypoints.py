@@ -1425,7 +1425,8 @@ def kg_triples_text_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY user_id, event_type)
     SELECT coalesce(o.user_id, n.user_id) AS user_id,
            coalesce(o.event_type, n.event_type) AS event_type,
-           o.n_old, n.n_new,
+           CAST(coalesce(o.n_old, 0) AS BIGINT) AS n_old,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
            CASE WHEN o.user_id IS NULL THEN 'added'
                 WHEN n.user_id IS NULL THEN 'removed'
                 WHEN o.n_old <> n.n_new THEN 'changed'
@@ -1457,11 +1458,15 @@ def change_detection_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o.event_type") == F.col("n.event_type")),
         "full_outer",
     )
+    # Counts are coalesced to 0 (the missing-side rows stay identifiable via
+    # `status`): nullable integer outputs are a correctness-gate hazard —
+    # a pandas-path fetch of DuckDB BIGINT-with-NULL promotes the column to
+    # float64 (3.0 / NaN) and can never value-hash-match Spark's LONG / null.
     return joined.select(
         F.coalesce(F.col("o.user_id"), F.col("n.user_id")).alias("user_id"),
         F.coalesce(F.col("o.event_type"), F.col("n.event_type")).alias("event_type"),
-        F.col("o.n_old").alias("n_old"),
-        F.col("n.n_new").alias("n_new"),
+        F.coalesce(F.col("o.n_old"), F.lit(0)).alias("n_old"),
+        F.coalesce(F.col("n.n_new"), F.lit(0)).alias("n_new"),
         F.when(F.col("o.user_id").isNull(), "added")
         .when(F.col("n.user_id").isNull(), "removed")
         .when(F.col("o.n_old") != F.col("n.n_new"), "changed")
