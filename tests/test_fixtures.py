@@ -3,6 +3,8 @@ import tempfile
 
 import pandas as pd
 
+from conftest import SF_SMALL
+
 from semantic_search_system_spark import spec
 from semantic_search_system_spark.fixtures.golden import golden_canonicalize, golden_triples
 from semantic_search_system_spark.fixtures.interleave import build_interleaved, spans_for_text
@@ -56,3 +58,17 @@ def test_golden_canonicalize_merges_similar():
     labels = golden_canonicalize(["spark join", "Spark Join", "zebra walk"])
     assert labels["spark join"] == labels["spark join"]
     assert labels["zebra walk"] != labels["spark join"]
+
+
+def test_oracle_replica_catches_hugeint_promotion(spark):
+    """Guard the guard (round-1 blind spot): an uncast DuckDB integer sum()
+    (HUGEINT -> Decimal through the Arrow fetch) must FAIL the replica's
+    type-tagged compare against a Spark LONG, and pass once cast."""
+    from oracle_utils import compare, duck_con
+
+    con = duck_con(SF_SMALL)
+    sdf = spark.createDataFrame([(6,)], "s long")
+    bad = compare(sdf, "SELECT sum(x) AS s FROM (VALUES (1), (2), (3)) t(x)", con)
+    assert not bad["values_match"]  # HUGEINT/Decimal 6 != LONG 6
+    good = compare(sdf, "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1), (2), (3)) t(x)", con)
+    assert good["values_match"] and good["schema_match"]
