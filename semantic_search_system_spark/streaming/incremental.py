@@ -86,6 +86,57 @@ def enrich_stream(
     )
 
 
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def sessionize_stream(spark: SparkSession, input_dir: str, gap_seconds: int = 1800):
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``: the
+    batch sessionizer (gap > 30 min ⇒ new session, order (ts, event_id) —
+    entrypoints.sessionize_users) as an incremental per-user running count.
+
+    State per user = (last event epoch-seconds, session count so far); each
+    micro-batch folds its (sorted) events into the state and emits the updated
+    cumulative count — the streaming-native form of the reference's
+    work-queue incremental processing (pr_meta_store.py:55-139), here with
+    CROSS-BATCH state rather than a per-batch recompute. Event-time order is
+    the micro-batch arrival order (time-partitioned input files), the standard
+    contract for processing-time sessionization.
+
+    Returns the unstarted streaming DataFrame (caller attaches the sink)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def update(key, pdfs, state):
+        (user,) = key
+        last_ts, n = state.get if state.exists else (None, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for t in batch["ts"]:
+            et = t.timestamp()
+            if last_ts is None or et - last_ts > gap_seconds:
+                n += 1
+            last_ts = et
+        state.update((float(last_ts), int(n)))
+        yield pd.DataFrame({"user_id": [user], "n_sessions": [n]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_sessions long",
+        stateStructType="last_ts double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_metrics(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked sliding-window event metrics (works on a stream or a batch DF)."""
     return (
