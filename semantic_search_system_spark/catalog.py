@@ -73,14 +73,26 @@ class Catalog:
     def exists(self, table: str) -> bool:
         return os.path.exists(self._manifest_path(table))
 
+    def _empty(self, spark: SparkSession, table: str) -> DataFrame:
+        """Typed empty DataFrame from the manifest's recorded schema — a table
+        legitimately committed with zero rows (e.g. failed_rows on a clean
+        corpus) must read back empty, not crash on a dir-less parquet scan."""
+        from pyspark.sql import types as T
+
+        man = self.manifest(table)
+        if "schema" not in man:
+            raise FileNotFoundError(f"table {table} has no partitions and no schema")
+        return spark.createDataFrame([], T.StructType.fromJson(json.loads(man["schema"])))
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.option("basePath", self.path(table)).parquet(
-            *[
-                os.path.join(self.path(table), d)
-                for d in sorted(os.listdir(self.path(table)))
-                if d.startswith(f"{BUCKET_COL}=")
-            ]
-        )
+        dirs = [
+            os.path.join(self.path(table), d)
+            for d in sorted(os.listdir(self.path(table)))
+            if d.startswith(f"{BUCKET_COL}=")
+        ]
+        if not dirs:
+            return self._empty(spark, table)
+        return spark.read.option("basePath", self.path(table)).parquet(*dirs)
 
     def read_buckets(self, spark: SparkSession, table: str, buckets) -> DataFrame:
         """Partition-pruned read: only the named ``bucket=<b>`` directories are
@@ -91,6 +103,8 @@ class Catalog:
             for b in buckets
             if os.path.exists(p := os.path.join(self.path(table), f"{BUCKET_COL}={b}"))
         ]
+        if not dirs:  # every probed partition is empty — a valid (rare) miss
+            return self._empty(spark, table)
         return spark.read.option("basePath", self.path(table)).parquet(*dirs)
 
     # ------------------------------------------------------------- checkpoint state
@@ -122,6 +136,7 @@ class Catalog:
         df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
 
         man = self.manifest(table)
+        man["schema"] = df.schema.json()  # read-back type for zero-partition tables
         snapshot_id = uuid.uuid4().hex[:16]
         committed: dict[str, dict] = {}
         for d in sorted(os.listdir(staging)):

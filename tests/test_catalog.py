@@ -91,3 +91,28 @@ def test_crash_mid_write_recovers(spark, tmp_root, sample):
     assert not any(d.startswith("_staging_") for d in os.listdir(cat.path("t")))
     assert cat.read(spark, "t").count() == 100
     assert cat.completed_buckets("t") == {0, 1, 2, 3}
+
+
+def test_zero_partition_table_reads_back_empty(spark, tmp_root):
+    """A table committed with zero rows (e.g. failed_rows on a clean corpus)
+    must read back as a typed empty DataFrame, not crash on a dir-less scan."""
+    from pyspark.sql import functions as F
+
+    from semantic_search_system_spark.catalog import Catalog
+
+    cat = Catalog(tmp_root)
+    empty = (
+        spark.range(0)
+        .select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.lit("enrich").alias("stage"),
+        )
+        .withColumn("bucket", F.lit(0))
+    )
+    cat.commit_partitions(empty, "failed_rows", stage="quarantine")
+    assert cat.exists("failed_rows")
+    back = cat.read(spark, "failed_rows")
+    assert back.count() == 0
+    assert set(back.columns) == {"doc_id", "stage", "bucket"}
+    # read_buckets of only-missing partitions is a valid empty miss too
+    assert cat.read_buckets(spark, "failed_rows", [5, 6]).count() == 0
