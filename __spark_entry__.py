@@ -105,9 +105,13 @@ _TAIL = [
     # A4 centroid math is now also hash-evidenced by ann_ivf_top10's k-means
     # oracle; this twin was green in r01 and is unchanged
     "centroid_per_label",
+    # CHANGED this round (recall-contract fix: default radius 8 → 3, bands
+    # derived from the radius) — its r01 rows-only row is superseded; current
+    # evidence is the brute-force recall test (test_simhash_recall_vs_bruteforce)
+    "simhash_near_dups",
     # no-oracle rows-only entries and redundant twins of in-window queries;
     # all unchanged since their round-1 driver rows
-    "simhash_near_dups", "topic_model_lda", "sliding_window_metrics",
+    "topic_model_lda", "sliding_window_metrics",
     "doc_triples_sql", "media_ref_integrity", "max_order_key", "date_range_scan",
     "join_customer_region", "customer_balance_stats", "distinct_parts_per_supplier",
     "sessionize_users", "filter_project", "union_distinct_orders", "orders_rollup",

@@ -159,14 +159,18 @@ class Catalog:
             }
         shutil.rmtree(staging, ignore_errors=True)
         man["partitions"].update(committed)
-        man["snapshots"].append(
-            {
-                "snapshot_id": snapshot_id,
-                "stage": stage,
-                "partitions": sorted(committed),
-                "total_rows": sum(e["rows_written"] for e in committed.values()),
-            }
-        )
+        # record a snapshot only when something was committed (or on first
+        # creation, so exists()/schema work for zero-row tables) — otherwise
+        # every resume pass would append an empty snapshot to the lineage
+        if committed or not self.exists(table):
+            man["snapshots"].append(
+                {
+                    "snapshot_id": snapshot_id,
+                    "stage": stage,
+                    "partitions": sorted(committed),
+                    "total_rows": sum(e["rows_written"] for e in committed.values()),
+                }
+            )
         self._save_manifest(table, man)
         return committed
 

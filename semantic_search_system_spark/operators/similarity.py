@@ -130,27 +130,41 @@ def build_ivf_index(
     """Materialize the IVF index through the Catalog: ``ivf_centroids`` (tiny)
     and ``ivf_assign`` PARTITIONED BY centroid id — probes read only matching
     ``bucket=<centroid>`` directories. Idempotent (checkpoint-resume): an
-    existing index is never rebuilt."""
-    if cat.exists("ivf_centroids") and cat.exists("ivf_assign"):
-        return
-    cent_rows = kmeans_centroids(vectors, n_centroids, n_iter, id_col, vec_col)
-    cent = vectors.sparkSession.createDataFrame(
-        cent_rows, "centroid_id long, cvec array<double>"
-    )
-    d = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
-    assigned = _assignments(d, cent_rows, id_col)
-    if not cat.exists("ivf_centroids"):
+    existing index is never rebuilt, and a crash between the two commits
+    resumes by READING BACK the committed centroids (never recomputing them,
+    which could produce assignments inconsistent with the stored table). An
+    existing index built with different parameters raises instead of being
+    silently reused."""
+    stage = f"ivf_build k={n_centroids} iter={n_iter}"
+    if cat.exists("ivf_centroids"):
+        prior = {m["stage"] for m in cat.metrics("ivf_centroids")}
+        if prior and prior != {stage}:
+            raise ValueError(
+                f"out_root holds an IVF index built with {sorted(prior)}; requested "
+                f"'{stage}' — use a fresh out_root or delete ivf_centroids/ivf_assign"
+            )
+        if cat.exists("ivf_assign"):
+            return
+        cent_rows = sorted(
+            (int(r["centroid_id"]), list(r["cvec"]))
+            for r in cat.read(spark, "ivf_centroids").collect()
+        )
+    else:
+        cent_rows = kmeans_centroids(vectors, n_centroids, n_iter, id_col, vec_col)
+        cent = spark.createDataFrame(cent_rows, "centroid_id long, cvec array<double>")
         cat.commit_partitions(
             # n_centroids rows — one task, not one per shuffle partition
             cent.coalesce(1).withColumn("bucket", F.lit(0)),
             "ivf_centroids",
-            stage="ivf_build",
+            stage=stage,
         )
     if not cat.exists("ivf_assign"):
+        d = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        assigned = _assignments(d, cent_rows, id_col)
         cat.commit_partitions(
             assigned.withColumn("bucket", F.col("centroid_id").cast("int")),
             "ivf_assign",
-            stage="ivf_build",
+            stage=stage,
         )
 
 

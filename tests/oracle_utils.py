@@ -45,10 +45,12 @@ def _norm_cell(v):
         return f"ts:{v.isoformat()}"
     if isinstance(v, datetime.date):
         return f"dt:{v.isoformat()}"
+    if hasattr(v, "asDict"):  # Spark Row (a tuple subclass — check BEFORE tuple)
+        v = v.asDict()
+    if isinstance(v, dict):  # Spark Row / arrow struct → key-sorted form
+        return "s:{" + ",".join(f"{k}={_norm_cell(v[k])}" for k in sorted(v)) + "}"
     if isinstance(v, (list, tuple)):
         return "l:[" + ",".join(_norm_cell(x) for x in v) + "]"
-    if isinstance(v, dict):  # Spark Row / arrow struct → dict
-        return "s:{" + ",".join(f"{k}={_norm_cell(v[k])}" for k in sorted(v)) + "}"
     return f"o:{v}"
 
 
