@@ -82,6 +82,7 @@ _PRIORITY = [
     "kg_triples_text_preds",
     # round-2 additions
     "change_detection_fullouter", "quarantine_failed_rows", "lemma_token_counts",
+    "decontaminate_vs_holdout",
     # round-1 hash-fails, fixed this round — prove the fix
     "events_monthly_metrics", "doc_quality_scores", "media_attrs_per_doc",
     "json_props_extract", "events_pivot_manual",
@@ -96,7 +97,7 @@ _PRIORITY = [
     # core relational operators
     "pricing_summary", "top_parts_per_supplier", "suppliers_per_nation",
     "nation_revenue_rank", "first_order_per_customer", "entity_position_backjoin",
-    "asof_last_click_before_error", "spans_kind_counts", "span_sequence_invariant",
+    "asof_last_click_before_error", "span_sequence_invariant",
     "month_windows", "minmax_normalize_orders",
     "fuzzy_nation_pairs", "order_price_quantiles", "semi_anti_customers",
     "bucketed_colocated_join",
@@ -110,8 +111,10 @@ _TAIL = [
     # evidence is the brute-force recall test (test_simhash_recall_vs_bruteforce)
     "simhash_near_dups",
     # no-oracle rows-only entries and redundant twins of in-window queries;
-    # all unchanged since their round-1 driver rows
-    "topic_model_lda", "sliding_window_metrics",
+    # all unchanged since their round-1 driver rows (spans_kind_counts'
+    # interleave evidence is superseded in-window by kg_triples_text_preds,
+    # which derives from the same spans)
+    "spans_kind_counts", "topic_model_lda", "sliding_window_metrics",
     "doc_triples_sql", "media_ref_integrity", "max_order_key", "date_range_scan",
     "join_customer_region", "customer_balance_stats", "distinct_parts_per_supplier",
     "sessionize_users", "filter_project", "union_distinct_orders", "orders_rollup",

@@ -1415,6 +1415,56 @@ def kg_triples_text_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_vs_holdout",
+    oracle=f"""
+    WITH t AS (SELECT cast(doc_id AS VARCHAR) AS doc_id, doc_id AS id_num,
+                      string_split({_CLEAN_SQL}, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, id_num,
+                  CASE WHEN len(toks) >= 5
+                       THEN list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                                   toks[i+3] || ' ' || toks[i+4]))
+                       ELSE [array_to_string(toks, ' ')] END AS grams
+           FROM t),
+    hold AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE id_num < 20),
+    corpus AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE id_num >= 20)
+    SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared
+    FROM corpus c JOIN hold USING (g)
+    GROUP BY c.doc_id
+    """,
+)
+def decontaminate_vs_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data pipeline op): flag corpus docs
+    sharing any distinct word 5-gram with a holdout/benchmark set (docs with
+    id < 20 stand in for the eval set). Scale shape: the holdout gram
+    vocabulary is benchmark-sized → BROADCAST join against the corpus gram
+    stream; the only shuffle is the per-doc count aggregation (map-side
+    combined). The standard contamination sweep an LLM data pipeline runs
+    before training."""
+    from .operators.dedup import with_shingles
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").alias("id_num"),
+        "text",
+    )
+    sh = with_shingles(d, "text", n=5).select("doc_id", "id_num", "shingles")
+    hold = (
+        sh.where(F.col("id_num") < 20)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    corpus = sh.where(F.col("id_num") >= 20).select(
+        "doc_id", F.explode("shingles").alias("g")
+    )
+    return (
+        corpus.join(F.broadcast(hold), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+    )
+
+
+@query(
     "change_detection_fullouter",
     oracle="""
     WITH o AS (
