@@ -118,6 +118,9 @@ _TAIL = [
     "doc_triples_sql", "media_ref_integrity", "max_order_key", "date_range_scan",
     "join_customer_region", "customer_balance_stats", "distinct_parts_per_supplier",
     "sessionize_users", "filter_project", "union_distinct_orders", "orders_rollup",
+    # round-2 training-data extras: oracle-checked via pytest test_oracle_parity
+    # (registered at tail to keep the driver's 50-query window composition)
+    "hash_sample_stratified", "token_budget_pack",
 ]
 
 

@@ -1465,6 +1465,70 @@ def decontaminate_vs_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hash_sample_stratified",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < '29'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents GROUP BY source
+    """,
+)
+def hash_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data pipeline op): a doc is
+    sampled iff the first byte of md5(doc_id) falls under the rate threshold
+    (0x29/0x100 ≈ 16%) — reproducible across engines, runs, and cluster
+    sizes, unlike rand()-based sampling; per-source strata report their
+    population and sample counts. One scan, map-side-combined aggregation."""
+    d = load(spark, sf_dir, "documents")
+    sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "29"
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(sampled, 1).otherwise(0)).cast("long").alias("n_sampled"),
+    )
+
+
+@query(
+    "token_budget_pack",
+    oracle="""
+    SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM (
+      SELECT doc_id, n_tokens,
+             CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+      FROM (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents)))
+    GROUP BY pack_id
+    """,
+)
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training (fixed-budget variant): docs in
+    doc_id order are packed into ~2048-token bins, pack_id = floor of the
+    EXCLUSIVE running token total / budget — deterministic, identical in both
+    engines, and expressible as one window cumsum (greedy reset-on-overflow
+    packing needs sequential state; this fixed-budget form is the standard
+    distributed approximation). At cluster scale the window runs per
+    range-partition with a distributed prefix-sum over partition totals."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = d.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
+@query(
     "change_detection_fullouter",
     oracle="""
     WITH o AS (
