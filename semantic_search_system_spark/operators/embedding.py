@@ -30,17 +30,18 @@ def _slot(token: str) -> tuple[int, float]:
     return s
 
 
-def embed_batch(texts: pd.Series, dim: int = spec.EMBED_DIM) -> pd.Series:
+def embed_batch(
+    texts: pd.Series, dim: int = spec.EMBED_DIM, toks: pd.Series | None = None
+) -> pd.Series:
     """Vectorized: explode tokens → (row, token) counts → one np.add.at
     scatter-add. Python loops touch only the batch's UNIQUE tokens (the
-    vocabulary, tiny next to the token stream)."""
-    toks = (
-        texts.fillna("")
-        .str.lower()
-        .str.replace(r"[^a-z0-9\s]", "", regex=True)
-        .str.split()
-    )
-    toks = toks.reset_index(drop=True)
+    vocabulary, tiny next to the token stream). ``toks`` lets the fused
+    enrich UDF pass the already-computed token lists (identical spec
+    tokenization) instead of re-splitting the content strings."""
+    if toks is None:
+        from .extraction import tokenize_batch
+
+        toks = tokenize_batch(texts)
     out = np.zeros((len(texts), dim), dtype=np.float64)
     tok = toks.explode()
     tok = tok[tok.notna() & (tok != "")]

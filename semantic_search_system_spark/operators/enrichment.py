@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .embedding import embed_batch
-from .extraction import _extract_batch
+from .extraction import _extract_batch, tokenize_batch
 
 ENRICH_RESULT = T.StructType(
     [
@@ -33,8 +33,9 @@ ENRICH_RESULT = T.StructType(
 
 @F.pandas_udf(ENRICH_RESULT)
 def enrich_udf(contents: pd.Series) -> pd.DataFrame:
-    out = _extract_batch(contents)
-    out["embedding"] = embed_batch(contents)
+    toks = tokenize_batch(contents)  # once — extract and embed share the spec tokenizer
+    out = _extract_batch(contents, toks)
+    out["embedding"] = embed_batch(contents, toks=toks)
     return out
 
 

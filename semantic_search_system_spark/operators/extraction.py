@@ -145,16 +145,24 @@ def _top_k_per_row(items: pd.Series, k: int) -> pd.Series:
     return top.groupby("row", sort=False)["item"].agg(list)
 
 
-def _extract_batch(contents: pd.Series) -> pd.DataFrame:
-    """Batch extraction implementing spec.extract_doc with pandas vector ops
-    (explode + groupby run in C; zero per-row Python on the hot path)."""
+def tokenize_batch(contents: pd.Series) -> pd.Series:
+    """The spec's batch tokenization (lower → strip non-alnum → split),
+    row-reindexed — shared by extraction and embedding so the fused enrich
+    UDF tokenizes each content string exactly once."""
     toks = (
         contents.fillna("")
         .str.lower()
         .str.replace(r"[^a-z0-9\s]", "", regex=True)
         .str.split()
     )
-    toks = toks.reset_index(drop=True)
+    return toks.reset_index(drop=True)
+
+
+def _extract_batch(contents: pd.Series, toks: pd.Series | None = None) -> pd.DataFrame:
+    """Batch extraction implementing spec.extract_doc with pandas vector ops
+    (explode + groupby run in C; zero per-row Python on the hot path)."""
+    if toks is None:
+        toks = tokenize_batch(contents)
     tok = toks.explode()
     tok = tok[tok.notna() & (tok != "")]
     stop = sorted(spec.STOPWORDS)
