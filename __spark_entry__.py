@@ -74,7 +74,10 @@ def _pipeline_query(table: str) -> Callable[[SparkSession, str], DataFrame]:
 _PRIORITY = [
     # reference's headline read path (search_service.py:16-390)
     "search_simple", "search_advanced", "search_pro", "search_pro_enhanced", "search_kb",
-    # full KG pipeline outputs (north rule) — rows-only (iterative CC, no SQL twin)
+    # full KG pipeline outputs (north rule) — triples/nodes/edges are
+    # hash-checked (raw-span re-derivation + materialized topic_map/triples
+    # projections, entrypoints.py ORACLE_TRIPLES_GLOB block); only the
+    # CC label tables and the manifest metrics stay rows-only
     "kg_pipeline_triples", "kg_graph_nodes", "kg_graph_edges",
     "kg_topic_map", "kg_entity_map", "kg_partition_metrics",
     # HASH-CHECKED materialized-pipeline evidence (MENTIONS/HAS_TOPIC vs an
@@ -126,8 +129,9 @@ _TAIL = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ep.registry()
-    # Full-pipeline outputs: connected-components canonicalization is iterative
-    # (not SQL-expressible) → no oracle entry; driver records rows-only checks.
+    # Full-pipeline outputs. triples/nodes/edges carry hash-grade oracles
+    # (registered in entrypoints._ORACLES); the CC LABEL tables
+    # (topic_map/entity_map) are iterative → rows-only + golden P/R evidence.
     q["kg_pipeline_triples"] = _pipeline_query("triples")
     q["kg_graph_nodes"] = _pipeline_query("nodes")
     q["kg_graph_edges"] = _pipeline_query("edges")

@@ -13,7 +13,7 @@ sys.path.insert(0, "/root/repo/tests")
 
 from oracle_utils import compare, duck_con  # noqa: E402
 
-from semantic_search_system_spark import entrypoints as ep  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
 from semantic_search_system_spark.fixtures.interleave import build_interleaved  # noqa: E402
 from semantic_search_system_spark.session import get_spark  # noqa: E402
 
@@ -24,11 +24,12 @@ def main() -> int:
     build_interleaved(SF)
     spark = get_spark("oracle-check", master="local[32]")
     con = duck_con(SF)
-    names = sys.argv[1:] or sorted(ep.registry())
-    oracles = ep.oracles()
+    registry = entry_mod.queries()
+    names = sys.argv[1:] or sorted(registry)
+    oracles = entry_mod.oracle_sql()
     failed = []
     for name in names:
-        fn = ep.registry()[name]
+        fn = registry[name]
         t0 = time.time()
         try:
             df = fn(spark, SF)
