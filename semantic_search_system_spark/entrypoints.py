@@ -1568,19 +1568,47 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM training (fixed-budget variant): docs in
     doc_id order are packed into ~2048-token bins, pack_id = floor of the
     EXCLUSIVE running token total / budget — deterministic, identical in both
-    engines, and expressible as one window cumsum (greedy reset-on-overflow
-    packing needs sequential state; this fixed-budget form is the standard
-    distributed approximation). At cluster scale the window runs per
-    range-partition with a distributed prefix-sum over partition totals."""
+    engines (greedy reset-on-overflow packing needs sequential state; this
+    fixed-budget form is the standard distributed approximation).
+
+    The global cumsum is a DISTRIBUTED two-pass prefix-sum, never a
+    partition-less window (which Spark executes as ONE task sorting the whole
+    corpus): (1) range-shuffle on doc_id, per-partition cumsum via a window
+    PARTITIONED on the physical partition id — parallel across partitions;
+    (2) exclusive per-partition offsets from a window over the
+    partition-count-sized totals frame (32 rows, not data-sized), broadcast
+    back. Output is invariant to the range boundaries, so the sampled split
+    points don't affect determinism."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    packed = d.withColumn(
+    npart = spark.sparkContext.defaultParallelism
+    # pid must be identical in the totals pass and the cumsum pass → pin the
+    # shuffled frame once (range sampling re-runs otherwise)
+    d = (
+        d.repartitionByRange(npart, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("ptotal"))
+        .select("pid", F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)).alias("offset"))
+    )
+    packed = d.join(F.broadcast(offsets), "pid").withColumn(
         "pack_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)),
+        F.floor(
+            (F.sum("n_tokens").over(w_local) + F.col("offset") - F.col("n_tokens"))
+            / F.lit(2048.0)
+        ),
     )
     return packed.groupBy("pack_id").agg(
         F.count("*").alias("n_docs"),

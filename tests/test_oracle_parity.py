@@ -6,10 +6,13 @@ import pytest
 
 from oracle_utils import compare, duck_con
 
-from semantic_search_system_spark import entrypoints as ep
+import __spark_entry__ as entry_mod
 from semantic_search_system_spark.fixtures.interleave import build_interleaved
 
 from conftest import SF_MED
+
+_QUERIES = entry_mod.queries()
+_ORACLES = entry_mod.oracle_sql()
 
 
 @pytest.fixture(scope="module")
@@ -20,10 +23,10 @@ def con():
     c.close()
 
 
-@pytest.mark.parametrize("name", sorted(ep.oracles()))
+@pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_oracle_parity(name, spark, con):
-    df = ep.registry()[name](spark, SF_MED)
-    res = compare(df, ep.oracles()[name], con)
+    df = _QUERIES[name](spark, SF_MED)
+    res = compare(df, _ORACLES[name], con)
     assert res["rows_match"], (res["n_spark"], res["n_duck"])
     assert res["schema_match"], (res["spark_cols"], res["duck_cols"])
     assert res["values_match"], res["sample_diff"]
