@@ -74,6 +74,9 @@ def _pipeline_query(table: str) -> Callable[[SparkSession, str], DataFrame]:
 _PRIORITY = [
     # reference's headline read path (search_service.py:16-390)
     "search_simple", "search_advanced", "search_pro", "search_pro_enhanced", "search_kb",
+    # same pro_search code path, DIFFERENT runtime (query_text, k, fuzziness) —
+    # proves the strategies are parameterized, not constant-baked
+    "search_pro_params",
     # full KG pipeline outputs (north rule) — triples/nodes/edges are
     # hash-checked (raw-span re-derivation + materialized topic_map/triples
     # projections, entrypoints.py ORACLE_TRIPLES_GLOB block); only the
@@ -103,9 +106,11 @@ _PRIORITY = [
     "asof_last_click_before_error", "span_sequence_invariant",
     "month_windows", "minmax_normalize_orders",
     "fuzzy_nation_pairs", "order_price_quantiles", "semi_anti_customers",
-    "bucketed_colocated_join",
 ]
 _TAIL = [
+    # moved to tail (round 3) to keep the 50-query window when
+    # search_pro_params entered; unchanged since its green r02 row
+    "bucketed_colocated_join",
     # A4 centroid math is now also hash-evidenced by ann_ivf_top10's k-means
     # oracle; this twin was green in r01 and is unchanged
     "centroid_per_label",

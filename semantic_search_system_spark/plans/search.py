@@ -1,6 +1,6 @@
 """The five search strategies (SURVEY.md §2.10) as declarative DataFrame queries
 over the enriched table, each with a DuckDB-SQL twin generated from the SAME
-constants so the oracle comparison is exact.
+parameters so the oracle comparison is exact.
 
 Reference parity (utils/search_service.py):
 - simple_search        (:16-89)   fuzzy match on nested topics/entities texts,
@@ -14,53 +14,66 @@ Reference parity (utils/search_service.py):
 - search_kb            (:299-390) + thresholds: normalized score >= 70
                                    (:380-382), semantic_k <= 10 (:329-330)
 
-Scoring is deterministic end-to-end: every score is rounded to 6dp BEFORE any
-rank/limit, and every ordering carries a doc_id tiebreak, so Spark and DuckDB
-select identical result sets. The LLM calls of the reference (expansion,
-rerank) are replaced by deterministic analogs per SURVEY §2.9 N11-N12:
-expansion = top-3 corpus-frequent entity tokens, rerank = weighted
+Every strategy takes the user's (query_text, k, fuzziness, dates) at runtime —
+the reference reads them from the Streamlit sidebar (main_app.py:80-126,
+utils/utils.py:41-57); the module constants below are only the benchmark
+defaults. Scoring is deterministic end-to-end: every score is rounded to 6dp
+BEFORE any rank/limit, and every ordering carries a doc_id tiebreak, so Spark
+and DuckDB select identical result sets. The LLM calls of the reference
+(expansion, rerank) are replaced by deterministic analogs per SURVEY §2.9
+N11-N12: expansion = top-3 corpus-frequent entity tokens, rerank = weighted
 token-overlap + cosine.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import spec
 
-# Fixed benchmark query — vocabulary of the synthetic corpus.
+# Benchmark defaults — vocabulary of the synthetic corpus.
 QUERY_TEXT = "spark join table"
 K = 10
 FUZZINESS = 1
 DATE_LO, DATE_HI = "2000-01-01", "2020-01-01"
 
-QUERY_TERMS = spec.clean_tokens(QUERY_TEXT)
-QUERY_VEC = [float(x) for x in spec.embed_text(QUERY_TEXT)]
 
-_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in QUERY_TERMS) + "]"
-_QVEC_SQL = "CAST([" + ", ".join(repr(x) for x in QUERY_VEC) + "] AS DOUBLE[])"
-
-
-def _terms_arr():
-    return F.array(*[F.lit(t) for t in QUERY_TERMS])
+def _params(query_text: str) -> tuple[list[str], list[float]]:
+    terms = spec.clean_tokens(query_text)
+    qvec = [float(x) for x in spec.embed_text(query_text)]
+    return terms, qvec
 
 
-def _qvec_arr():
-    return F.array(*[F.lit(x) for x in QUERY_VEC])
+def _terms_sql(terms: list[str]) -> str:
+    return "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+
+
+def _qvec_sql(qvec: list[float]) -> str:
+    return "CAST([" + ", ".join(repr(x) for x in qvec) + "] AS DOUBLE[])"
+
+
+def _terms_arr(terms: list[str]):
+    return F.array(*[F.lit(t) for t in terms])
+
+
+def _qvec_arr(qvec: list[float]):
+    return F.array(*[F.lit(x) for x in qvec])
 
 
 # --------------------------------------------------------------- shared scoring
-def _with_scores(enriched: DataFrame) -> DataFrame:
+def _with_scores(
+    enriched: DataFrame, terms: list[str], qvec: list[float], fuzziness: int
+) -> DataFrame:
     """Attach all rounded score components used by the strategies."""
     emb = F.col("embedding").cast("array<double>")
-    qv = _qvec_arr()
+    qv = _qvec_arr(qvec)
     dot = F.aggregate(F.zip_with(emb, qv, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v)
     nrm = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda s, v: s + v * v))
     qnrm = F.sqrt(F.aggregate(qv, F.lit(0.0), lambda s, v: s + v * v))
     cos = F.round(dot / (nrm * qnrm), 6)
 
-    terms = _terms_arr()
+    t_arr = _terms_arr(terms)
     title_toks = F.split(F.lower(F.col("title")), " ")
     summary_toks = F.split(F.lower(F.col("summary")), " ")
     content_toks = F.split(F.col("content"), " ")
@@ -68,14 +81,14 @@ def _with_scores(enriched: DataFrame) -> DataFrame:
     topic_texts = F.transform("topics", lambda t: t["text"])
 
     def overlap(toks):
-        return F.size(F.array_intersect(toks, terms)).cast("double")
+        return F.size(F.array_intersect(toks, t_arr)).cast("double")
 
-    # fuzzy hit count over entity+topic texts (levenshtein <= FUZZINESS to any term)
+    # fuzzy hit count over entity+topic texts (levenshtein <= fuzziness to any term)
     et = F.concat(ent_texts, topic_texts)
     fuzzy_hits = F.size(
         F.filter(
             et,
-            lambda x: F.exists(terms, lambda t: F.levenshtein(x, t) <= F.lit(FUZZINESS)),
+            lambda x: F.exists(t_arr, lambda t: F.levenshtein(x, t) <= F.lit(fuzziness)),
         )
     ).cast("double")
 
@@ -84,39 +97,47 @@ def _with_scores(enriched: DataFrame) -> DataFrame:
         .withColumn("title_ov", overlap(title_toks))
         .withColumn("summary_ov", overlap(summary_toks))
         .withColumn("content_ov", overlap(content_toks))
-        .withColumn("ent_ov", F.size(F.array_intersect(ent_texts, terms)).cast("double"))
-        .withColumn("topic_ov", F.size(F.array_intersect(topic_texts, terms)).cast("double"))
+        .withColumn("ent_ov", F.size(F.array_intersect(ent_texts, t_arr)).cast("double"))
+        .withColumn("topic_ov", F.size(F.array_intersect(topic_texts, t_arr)).cast("double"))
         .withColumn("fuzzy_hits", fuzzy_hits)
     )
 
 
-_SCORES_CTE = f"""
+def _docs_cte(
+    enriched_glob: str, terms: list[str], qvec: list[float], fuzziness: int
+) -> str:
+    ts, qs = _terms_sql(terms), _qvec_sql(qvec)
+    return f"""WITH docs AS (SELECT * FROM read_parquet('{enriched_glob}')),
   scored AS (
     SELECT *,
-      round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_QVEC_SQL}), 6) AS sem_score,
-      CAST(len(list_intersect(string_split(lower(title), ' '), {_TERMS_SQL})) AS DOUBLE) AS title_ov,
-      CAST(len(list_intersect(string_split(lower(summary), ' '), {_TERMS_SQL})) AS DOUBLE) AS summary_ov,
-      CAST(len(list_intersect(string_split(content, ' '), {_TERMS_SQL})) AS DOUBLE) AS content_ov,
-      CAST(len(list_intersect(list_transform(entities, e -> e.text), {_TERMS_SQL})) AS DOUBLE) AS ent_ov,
-      CAST(len(list_intersect(list_transform(topics, t -> t.text), {_TERMS_SQL})) AS DOUBLE) AS topic_ov,
+      round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), {qs}), 6) AS sem_score,
+      CAST(len(list_intersect(string_split(lower(title), ' '), {ts})) AS DOUBLE) AS title_ov,
+      CAST(len(list_intersect(string_split(lower(summary), ' '), {ts})) AS DOUBLE) AS summary_ov,
+      CAST(len(list_intersect(string_split(content, ' '), {ts})) AS DOUBLE) AS content_ov,
+      CAST(len(list_intersect(list_transform(entities, e -> e.text), {ts})) AS DOUBLE) AS ent_ov,
+      CAST(len(list_intersect(list_transform(topics, t -> t.text), {ts})) AS DOUBLE) AS topic_ov,
       CAST(len(list_filter(list_transform(entities, e -> e.text) || list_transform(topics, t -> t.text),
-               x -> len(list_filter({_TERMS_SQL}, t -> levenshtein(x, t) <= {FUZZINESS})) > 0)) AS DOUBLE) AS fuzzy_hits
+               x -> len(list_filter({ts}, t -> levenshtein(x, t) <= {fuzziness})) > 0)) AS DOUBLE) AS fuzzy_hits
     FROM docs
   )
 """
 
 
-def _docs_cte(enriched_glob: str) -> str:
-    return f"WITH docs AS (SELECT * FROM read_parquet('{enriched_glob}')),\n{_SCORES_CTE}"
-
-
 # ================================================================ Q1 simple
-def simple_search(enriched: DataFrame, k: int = K) -> DataFrame:
-    s = _with_scores(enriched)
+def simple_search(
+    enriched: DataFrame,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+    date_lo: str = DATE_LO,
+    date_hi: str = DATE_HI,
+) -> DataFrame:
+    terms, qvec = _params(query_text)
+    s = _with_scores(enriched, terms, qvec, fuzziness)
     return (
         s.where(
-            (F.col("doc_date") >= F.lit(DATE_LO).cast("date"))
-            & (F.col("doc_date") < F.lit(DATE_HI).cast("date"))
+            (F.col("doc_date") >= F.lit(date_lo).cast("date"))
+            & (F.col("doc_date") < F.lit(date_hi).cast("date"))
             & (F.col("fuzzy_hits") >= 1)  # minimum_should_match=1
         )
         .select("doc_id", F.col("fuzzy_hits").alias("score"))
@@ -125,11 +146,19 @@ def simple_search(enriched: DataFrame, k: int = K) -> DataFrame:
     )
 
 
-def simple_search_sql(enriched_glob: str, k: int = K) -> str:
+def simple_search_sql(
+    enriched_glob: str,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+    date_lo: str = DATE_LO,
+    date_hi: str = DATE_HI,
+) -> str:
+    terms, qvec = _params(query_text)
     return f"""
-    {_docs_cte(enriched_glob)}
+    {_docs_cte(enriched_glob, terms, qvec, fuzziness)}
     SELECT doc_id, fuzzy_hits AS score FROM scored
-    WHERE doc_date >= DATE '{DATE_LO}' AND doc_date < DATE '{DATE_HI}' AND fuzzy_hits >= 1
+    WHERE doc_date >= DATE '{date_lo}' AND doc_date < DATE '{date_hi}' AND fuzzy_hits >= 1
     ORDER BY score DESC, doc_id ASC LIMIT {k}
     """
 
@@ -153,8 +182,14 @@ def _semantic_topk_flag(s: DataFrame, semantic_k: int, flag: str) -> DataFrame:
 
 
 # ================================================================ Q2 advanced
-def advanced_search(enriched: DataFrame, k: int = K) -> DataFrame:
-    s = _semantic_topk_flag(_with_scores(enriched), k * 3, "_sem_top")
+def advanced_search(
+    enriched: DataFrame,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+) -> DataFrame:
+    terms, qvec = _params(query_text)
+    s = _semantic_topk_flag(_with_scores(enriched, terms, qvec, fuzziness), k * 3, "_sem_top")
     score = F.round(
         F.col("title_ov") * 3.0
         + F.col("summary_ov") * 2.0
@@ -170,9 +205,15 @@ def advanced_search(enriched: DataFrame, k: int = K) -> DataFrame:
     )
 
 
-def advanced_search_sql(enriched_glob: str, k: int = K) -> str:
+def advanced_search_sql(
+    enriched_glob: str,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+) -> str:
+    terms, qvec = _params(query_text)
     return f"""
-    {_docs_cte(enriched_glob)},
+    {_docs_cte(enriched_glob, terms, qvec, fuzziness)},
     ranked AS (
       SELECT *, row_number() OVER (ORDER BY sem_score DESC, doc_id ASC) AS sem_rank FROM scored)
     SELECT doc_id, score FROM (
@@ -185,10 +226,16 @@ def advanced_search_sql(enriched_glob: str, k: int = K) -> str:
 
 
 # ================================================================ Q3 pro (hybrid fusion)
-def _hybrid(enriched: DataFrame, k: int, semantic_k: int) -> DataFrame:
+def _hybrid(
+    enriched: DataFrame,
+    semantic_k: int,
+    terms: list[str],
+    qvec: list[float],
+    fuzziness: int,
+) -> DataFrame:
     """Candidates = lexical(min_should_match=2) ∪ semantic top-semantic_k;
     per-branch min-max to [0,1] over candidates, arithmetic-mean fusion."""
-    s = _with_scores(enriched)
+    s = _with_scores(enriched, terms, qvec, fuzziness)
     lex = F.round(
         F.col("summary_ov") * 2.0
         + F.col("content_ov") * 3.0
@@ -229,19 +276,31 @@ def _hybrid(enriched: DataFrame, k: int, semantic_k: int) -> DataFrame:
     return cand.withColumn("score", F.round((F.col("lex_n") + F.col("sem_n")) / 2.0, 6))
 
 
-def pro_search(enriched: DataFrame, k: int = K) -> DataFrame:
+def pro_search(
+    enriched: DataFrame,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+) -> DataFrame:
+    terms, qvec = _params(query_text)
     semantic_k = max(5 * k, 50)
     return (
-        _hybrid(enriched, k, semantic_k)
+        _hybrid(enriched, semantic_k, terms, qvec, fuzziness)
         .select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
 
 
-def _hybrid_sql(enriched_glob: str, semantic_k: int) -> str:
+def _hybrid_sql(
+    enriched_glob: str,
+    semantic_k: int,
+    terms: list[str],
+    qvec: list[float],
+    fuzziness: int,
+) -> str:
     return f"""
-    {_docs_cte(enriched_glob)},
+    {_docs_cte(enriched_glob, terms, qvec, fuzziness)},
     ranked AS (
       SELECT *,
         round(summary_ov * 2.0 + content_ov * 3.0 + ent_ov * 1.5 + topic_ov * 1.5, 6) AS lex_score,
@@ -265,22 +324,28 @@ def _hybrid_sql(enriched_glob: str, semantic_k: int) -> str:
     """
 
 
-def pro_search_sql(enriched_glob: str, k: int = K) -> str:
+def pro_search_sql(
+    enriched_glob: str,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+) -> str:
+    terms, qvec = _params(query_text)
     semantic_k = max(5 * k, 50)
     return f"""
-    {_hybrid_sql(enriched_glob, semantic_k)}
+    {_hybrid_sql(enriched_glob, semantic_k, terms, qvec, fuzziness)}
     SELECT doc_id, score FROM fused ORDER BY score DESC, doc_id ASC LIMIT {k}
     """
 
 
 # ================================================================ Q4 enhanced
-def _expansion_terms(enriched: DataFrame) -> DataFrame:
+def _expansion_terms(enriched: DataFrame, terms: list[str]) -> DataFrame:
     """Deterministic query expansion (N11): the top-3 corpus-frequent entity
     tokens not already in the query (original x1.0 / expansion x0.5 boosts,
     search_service.py:263-271)."""
     return (
         enriched.select(F.explode(F.transform("entities", lambda e: e["text"])).alias("term"))
-        .where(~F.col("term").isin(*QUERY_TERMS))
+        .where(~F.col("term").isin(*terms))
         .groupBy("term")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("term"))
@@ -288,10 +353,16 @@ def _expansion_terms(enriched: DataFrame) -> DataFrame:
     )
 
 
-def pro_search_enhanced(enriched: DataFrame, k: int = K) -> DataFrame:
+def pro_search_enhanced(
+    enriched: DataFrame,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+) -> DataFrame:
+    terms, qvec = _params(query_text)
     semantic_k = max(5 * k, 50)
-    fused = _hybrid(enriched, k, semantic_k)
-    exp = _expansion_terms(enriched).select(F.collect_list("term").alias("exp_terms"))
+    fused = _hybrid(enriched, semantic_k, terms, qvec, fuzziness)
+    exp = _expansion_terms(enriched, terms).select(F.collect_list("term").alias("exp_terms"))
     fused = fused.crossJoin(F.broadcast(exp))
     exp_ov = F.size(
         F.array_intersect(F.split(F.col("content"), " "), F.col("exp_terms"))
@@ -304,9 +375,9 @@ def pro_search_enhanced(enriched: DataFrame, k: int = K) -> DataFrame:
         .limit(k * 5)
     )
     # rerank (N12): weighted overlap + cosine over the k*5 window
-    qn = float(len(QUERY_TERMS))
+    qn = float(len(terms))
     rerank = F.round(
-        0.6 * (F.size(F.array_intersect(F.split(F.col("content"), " "), _terms_arr())) / F.lit(qn))
+        0.6 * (F.size(F.array_intersect(F.split(F.col("content"), " "), _terms_arr(terms))) / F.lit(qn))
         + 0.4 * F.col("sem_score"),
         6,
     )
@@ -318,16 +389,23 @@ def pro_search_enhanced(enriched: DataFrame, k: int = K) -> DataFrame:
     )
 
 
-def pro_search_enhanced_sql(enriched_glob: str, k: int = K) -> str:
+def pro_search_enhanced_sql(
+    enriched_glob: str,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+) -> str:
+    terms, qvec = _params(query_text)
     semantic_k = max(5 * k, 50)
-    qn = float(len(QUERY_TERMS))
+    qn = float(len(terms))
+    ts = _terms_sql(terms)
     return f"""
-    {_hybrid_sql(enriched_glob, semantic_k)},
+    {_hybrid_sql(enriched_glob, semantic_k, terms, qvec, fuzziness)},
     exp AS (
       SELECT list(term ORDER BY n DESC, term ASC) AS exp_terms FROM (
         SELECT term, count(*) AS n FROM (
           SELECT unnest(list_transform(entities, e -> e.text)) AS term FROM docs)
-        WHERE term NOT IN (SELECT unnest({_TERMS_SQL}))
+        WHERE term NOT IN (SELECT unnest({ts}))
         GROUP BY term ORDER BY n DESC, term ASC LIMIT 3)),
     boosted AS (
       SELECT f.*, round(f.score * 1.0 +
@@ -336,7 +414,7 @@ def pro_search_enhanced_sql(enriched_glob: str, k: int = K) -> str:
     windowed AS (
       SELECT *, row_number() OVER (ORDER BY boosted DESC, doc_id ASC) AS rr FROM boosted)
     SELECT doc_id,
-           round(0.6 * (CAST(len(list_intersect(string_split(content, ' '), {_TERMS_SQL})) AS DOUBLE) / {qn})
+           round(0.6 * (CAST(len(list_intersect(string_split(content, ' '), {ts})) AS DOUBLE) / {qn})
                  + 0.4 * sem_score, 6) AS score
     FROM windowed WHERE rr <= {k * 5}
     ORDER BY score DESC, doc_id ASC LIMIT {k}
@@ -344,9 +422,15 @@ def pro_search_enhanced_sql(enriched_glob: str, k: int = K) -> str:
 
 
 # ================================================================ Q5 search_kb
-def search_kb(enriched: DataFrame, k: int = K) -> DataFrame:
+def search_kb(
+    enriched: DataFrame,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+) -> DataFrame:
+    terms, qvec = _params(query_text)
     semantic_k = min(max(1, k), 10)  # capped (search_service.py:329-330)
-    fused = _hybrid(enriched, k, semantic_k)
+    fused = _hybrid(enriched, semantic_k, terms, qvec, fuzziness)
     # normalize fused score to [1,100], threshold >= 70 (search_service.py:380-382)
     stats = fused.agg(F.min("score").alias("_mn"), F.max("score").alias("_mx"))
     fused = fused.crossJoin(F.broadcast(stats))
@@ -366,10 +450,16 @@ def search_kb(enriched: DataFrame, k: int = K) -> DataFrame:
     )
 
 
-def search_kb_sql(enriched_glob: str, k: int = K) -> str:
+def search_kb_sql(
+    enriched_glob: str,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+) -> str:
+    terms, qvec = _params(query_text)
     semantic_k = min(max(1, k), 10)
     return f"""
-    {_hybrid_sql(enriched_glob, semantic_k)},
+    {_hybrid_sql(enriched_glob, semantic_k, terms, qvec, fuzziness)},
     n100 AS (
       SELECT *, round(CASE WHEN max(score) OVER () = min(score) OVER () THEN 100.0
              ELSE greatest(1.0, least(100.0,
