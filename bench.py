@@ -195,7 +195,10 @@ def default_bench(sf_dir: str, cpus: int) -> None:
     build_dir = tempfile.mkdtemp(prefix="sss_ivf_bench_")
     try:
         t0 = time.time()
-        build_ivf_index(spark, emb, Catalog(build_dir), n_centroids=8, n_iter=2)
+        build_ivf_index(
+            spark, emb, Catalog(build_dir), n_centroids=8, n_iter=2,
+            fit_sample_hex=ep.IVF_FIT_SAMPLE_HEX,
+        )
         queries["ann_ivf_index_build"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(build_dir, ignore_errors=True)

@@ -1301,19 +1301,30 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle_sql(n_centroids: int = 8, n_iter: int = 2, n_probe: int = 2, k: int = 10, dim: int = 64) -> str:
+def _ivf_oracle_sql(
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    k: int = 10,
+    dim: int = 64,
+    sample_hex: str | None = None,
+) -> str:
     """DuckDB twin of the materialized IVF index: first-m seeding, n_iter
     unrolled Lloyd iterations (per-component list_avg rounded to 6 dp — the
     rounding makes the fixpoint invariant to float summation order, so Spark's
     distributed avg and DuckDB's list_avg converge to identical centroids),
-    then nearest-centroid assignment, n_probe probe, top-k."""
+    then nearest-centroid assignment, n_probe probe, top-k. ``sample_hex``
+    replays the md5-threshold FIT sample (similarity.fit_sample_pred): seeds
+    and Lloyd iterations read only the sampled rows; the final assignment
+    covers every vector."""
+    fit = "s" if sample_hex else "e"
 
-    def assign(cent: str, name: str) -> str:
+    def assign(cent: str, name: str, src: str) -> str:
         return (
             f"{name} AS (\n"
-            f"      SELECT vec_id, min({{'nc': -round(list_cosine_similarity(e.v, c.cvec), 6), "
+            f"      SELECT vec_id, min({{'nc': -round(list_cosine_similarity({src}.v, c.cvec), 6), "
             f"'cid': c.centroid_id}}).cid AS centroid_id\n"
-            f"      FROM e, {cent} c GROUP BY vec_id)"
+            f"      FROM {src}, {cent} c GROUP BY vec_id)"
         )
 
     def update(a: str, name: str) -> str:
@@ -1321,19 +1332,23 @@ def _ivf_oracle_sql(n_centroids: int = 8, n_iter: int = 2, n_probe: int = 2, k: 
             f"{name} AS (\n"
             f"      SELECT centroid_id, list_transform(generate_series(1, {dim}), "
             f"j -> round(list_avg(list_transform(vs, v -> v[j])), 6)) AS cvec\n"
-            f"      FROM (SELECT a.centroid_id, list(e.v) AS vs FROM {a} a JOIN e USING (vec_id) "
+            f"      FROM (SELECT a.centroid_id, list({fit}.v) AS vs FROM {a} a JOIN {fit} USING (vec_id) "
             f"GROUP BY a.centroid_id))"
         )
 
-    ctes = [
-        "e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"c0 AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cvec FROM e "
-        f"ORDER BY vec_id ASC LIMIT {n_centroids})",
-    ]
+    ctes = ["e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    if sample_hex:
+        ctes.append(
+            f"s AS (SELECT * FROM e WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '{sample_hex}')"
+        )
+    ctes.append(
+        f"c0 AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cvec FROM {fit} "
+        f"ORDER BY vec_id ASC LIMIT {n_centroids})"
+    )
     for t in range(n_iter):
-        ctes.append(assign(f"c{t}", f"a{t}"))
+        ctes.append(assign(f"c{t}", f"a{t}", fit))
         ctes.append(update(f"a{t}", f"c{t + 1}"))
-    ctes.append(assign(f"c{n_iter}", "af"))
+    ctes.append(assign(f"c{n_iter}", "af", "e"))
     ctes.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
     ctes.append(
         f"probed AS (SELECT centroid_id FROM ("
@@ -1348,18 +1363,23 @@ def _ivf_oracle_sql(n_centroids: int = 8, n_iter: int = 2, n_probe: int = 2, k: 
     )
 
 
-@query("ann_ivf_top10", oracle=_ivf_oracle_sql())
+IVF_FIT_SAMPLE_HEX = "80"  # fit k-means on the ~50% md5-threshold sample
+
+
+@query("ann_ivf_top10", oracle=_ivf_oracle_sql(sample_hex=IVF_FIT_SAMPLE_HEX))
 def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN over the MATERIALIZED IVF index: deterministic 2-iteration k-means
-    centroids, assignments persisted through the Catalog partitioned by
-    centroid id (built once, reused across queries — the probe reads only the
-    2 matching bucket directories of 8)."""
+    fitted on the md5-threshold hash sample (the Lloyd iterations never scan
+    the full corpus — the one full scan is the final assignment pass),
+    assignments persisted through the Catalog partitioned by centroid id
+    (built once, reused across queries — the probe reads only the 2 matching
+    bucket directories of 8)."""
     from .catalog import Catalog
     from .operators.similarity import build_ivf_index, ivf_topk_indexed
 
     e = load(spark, sf_dir, "embeddings")
     cat = Catalog(out_root(sf_dir))
-    build_ivf_index(spark, e, cat, n_centroids=8, n_iter=2)
+    build_ivf_index(spark, e, cat, n_centroids=8, n_iter=2, fit_sample_hex=IVF_FIT_SAMPLE_HEX)
     qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select("embedding").collect()][0]
     return ivf_topk_indexed(spark, cat, qvec, k=10, n_probe=2)
 

@@ -48,10 +48,19 @@ def _nearest_centroid_udf(cent_rows: list[tuple[int, list[float]]]):
         M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         n = np.linalg.norm(M, axis=1)
         Mn = M / np.where(n == 0, 1.0, n)[:, None]
-        sims = np.round(Mn @ Cn.T, 6)
+        sims = _round_half_away(Mn @ Cn.T, 6)
         return pd.Series(cids[np.argmax(sims, axis=1)])
 
     return assign
+
+
+def _round_half_away(x: np.ndarray, ndigits: int) -> np.ndarray:
+    """Round half AWAY from zero, matching Spark F.round and DuckDB round()
+    exactly — np.round is half-to-even, which can diverge from the SQL oracles
+    on exact .5 boundaries (measure-zero with float64, but the assignment
+    contract is bit-for-bit)."""
+    scale = 10.0**ndigits
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
 
 
 def brute_force_topk(
@@ -74,12 +83,20 @@ def _assignments(d: DataFrame, cent_rows: list[tuple[int, list[float]]], id_col:
     return d.select(id_col, assign(F.col("_v")).alias("centroid_id"), "_v")
 
 
+def fit_sample_pred(id_col: str, sample_hex: str):
+    """Deterministic md5-threshold membership predicate for the k-means fit
+    sample (the hash_sample_stratified rule): reproducible across engines,
+    runs, and cluster sizes — the DuckDB oracle replays it verbatim."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 2) < sample_hex
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_centroids: int = 8,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample_hex: str | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's k-means → driver-held [(centroid_id, cvec)].
 
@@ -92,11 +109,18 @@ def kmeans_centroids(
     sums, never vectors). Means are ROUNDED to 6 dp so the fixpoint is
     invariant to float summation order across engines. Centroids live on the
     driver between iterations (n_centroids ≈ √N rows — tiny by design, as in
-    classic distributed k-means). Empty clusters drop out (both engines)."""
-    d = (
-        vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
-        .localCheckpoint(eager=True)  # consumed once per iteration + final assign
-    )
+    classic distributed k-means). Empty clusters drop out (both engines).
+
+    ``fit_sample_hex``: fit the centroids on the deterministic md5-threshold
+    SAMPLE of the corpus (e.g. '80' ≈ 50%) instead of every vector — at 100-TB
+    scale the Lloyd iterations must never scan the full corpus (the final
+    full-corpus assignment pass in build_ivf_index already does exactly one
+    scan). Sampling is by id hash, so the fit set — and therefore the
+    centroids — is identical in Spark and the DuckDB oracle."""
+    d = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+    if fit_sample_hex is not None:
+        d = d.where(fit_sample_pred(id_col, fit_sample_hex))
+    d = d.localCheckpoint(eager=True)  # consumed once per iteration + seeding
     cent_rows = [
         (int(r[id_col]), list(r["_v"]))
         for r in d.orderBy(F.asc(id_col)).limit(n_centroids).collect()
@@ -118,6 +142,20 @@ def kmeans_centroids(
     return cent_rows
 
 
+def _input_fingerprint(vectors: DataFrame, id_col: str, vec_col: str) -> str:
+    """Cheap order-insensitive fingerprint of the indexed input: row count +
+    bit_xor of xxhash64(id, first embedding component). Recorded in the index
+    stage string so a changed input raises instead of silently serving stale
+    assignments (sum() would overflow under ANSI; bit_xor is exact and
+    commutative). One column-pruned scan — at true scale, swap for the source
+    table's snapshot id from its own manifest."""
+    n, x = vectors.agg(
+        F.count("*"),
+        F.bit_xor(F.xxhash64(F.col(id_col), F.element_at(F.col(vec_col), 1))),
+    ).first()
+    return f"{n}:{(x or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
 def build_ivf_index(
     spark: SparkSession,
     vectors: DataFrame,
@@ -126,6 +164,7 @@ def build_ivf_index(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample_hex: str | None = None,
 ) -> None:
     """Materialize the IVF index through the Catalog: ``ivf_centroids`` (tiny)
     and ``ivf_assign`` PARTITIONED BY centroid id — probes read only matching
@@ -133,9 +172,14 @@ def build_ivf_index(
     existing index is never rebuilt, and a crash between the two commits
     resumes by READING BACK the committed centroids (never recomputing them,
     which could produce assignments inconsistent with the stored table). An
-    existing index built with different parameters raises instead of being
-    silently reused."""
-    stage = f"ivf_build k={n_centroids} iter={n_iter}"
+    existing index built with different parameters OR a different input
+    (row-count + checksum fingerprint) raises instead of being silently
+    reused."""
+    stage = (
+        f"ivf_build k={n_centroids} iter={n_iter} "
+        f"sample={fit_sample_hex or 'full'} "
+        f"fp={_input_fingerprint(vectors, id_col, vec_col)}"
+    )
     if cat.exists("ivf_centroids"):
         prior = {m["stage"] for m in cat.metrics("ivf_centroids")}
         if prior and prior != {stage}:
@@ -150,7 +194,9 @@ def build_ivf_index(
             for r in cat.read(spark, "ivf_centroids").collect()
         )
     else:
-        cent_rows = kmeans_centroids(vectors, n_centroids, n_iter, id_col, vec_col)
+        cent_rows = kmeans_centroids(
+            vectors, n_centroids, n_iter, id_col, vec_col, fit_sample_hex
+        )
         cent = spark.createDataFrame(cent_rows, "centroid_id long, cvec array<double>")
         cat.commit_partitions(
             # n_centroids rows — one task, not one per shuffle partition
@@ -205,11 +251,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_iter: int = 2,
+    fit_sample_hex: str | None = None,
 ) -> DataFrame:
     """Index-free inline IVF top-k (ad-hoc / tests); same math as the indexed
     path, nothing persisted."""
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    cent_rows = kmeans_centroids(vectors, n_centroids, n_iter, id_col, vec_col)
+    cent_rows = kmeans_centroids(vectors, n_centroids, n_iter, id_col, vec_col, fit_sample_hex)
     cent = vectors.sparkSession.createDataFrame(
         cent_rows, "centroid_id long, cvec array<double>"
     )

@@ -150,3 +150,19 @@ def test_ivf_recall_vs_bruteforce(spark):
     # 2-probe ANN: reasonable recall on the top-10
     approx = [r["vec_id"] for r in ivf_topk(e, q, k=10, n_centroids=8, n_probe=2).collect()]
     assert len(set(approx) & set(exact)) >= 3
+
+
+def test_ivf_index_input_fingerprint_guard(spark, tmp_root):
+    """A changed input (row set or embeddings) must raise on index reuse, not
+    silently serve stale assignments (round-2 ADVICE #1)."""
+    import pytest
+
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.operators.similarity import build_ivf_index
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cat = Catalog(tmp_root)
+    build_ivf_index(spark, e, cat, n_centroids=4, n_iter=1)
+    build_ivf_index(spark, e, cat, n_centroids=4, n_iter=1)  # same input → no-op
+    with pytest.raises(ValueError, match="built with"):
+        build_ivf_index(spark, e.where("vec_id <> 3"), cat, n_centroids=4, n_iter=1)
