@@ -136,7 +136,17 @@ class Catalog:
         df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
 
         man = self.manifest(table)
-        man["schema"] = df.schema.json()  # read-back type for zero-partition tables
+        # record the read-back schema ONCE (zero-partition tables need it); a
+        # later commit with a drifted schema must fail loudly, not silently
+        # rewrite the recorded type against already-committed partitions
+        if "schema" not in man:
+            man["schema"] = df.schema.json()
+        elif man["schema"] != df.schema.json():
+            raise ValueError(
+                f"schema drift on table '{table}': committed partitions were "
+                f"written with a different schema — use overwrite() for a "
+                f"full-table replace"
+            )
         snapshot_id = uuid.uuid4().hex[:16]
         committed: dict[str, dict] = {}
         for d in sorted(os.listdir(staging)):

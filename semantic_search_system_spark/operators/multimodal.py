@@ -15,7 +15,7 @@ similarity, grouping) fully testable.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -28,14 +28,43 @@ MEDIA_FEATURES_SCHEMA = (
     "frame int, features array<float>, decode_ok boolean"
 )
 
+# Pluggable decoder registry: a codec-bearing environment activates real
+# decoding WITHOUT code changes here — register a top-level (picklable)
+# ``media_ref -> bytes`` callable per kind ('image'/'audio'/'video', or '*' as
+# the catch-all) at import time. ``extract_media_features`` snapshots the
+# registry into the mapInPandas closure, so registrations made on the driver
+# before the plan is built reach the executor Python workers (module globals
+# alone would not — workers import this module fresh).
+_DECODERS: dict[str, Callable[[str], bytes]] = {}
 
-def decode_media(media_ref: str, kind: str, fake: bool = True) -> bytes:
-    """STUB codec boundary. Real deployments plug an image/audio decoder here
-    (PIL/ffmpeg/torchaudio — not present in this container)."""
+
+def register_decoder(kind: str, fn: Callable[[str], bytes]) -> None:
+    _DECODERS[kind] = fn
+
+
+def unregister_decoder(kind: str) -> None:
+    _DECODERS.pop(kind, None)
+
+
+def decode_media(
+    media_ref: str,
+    kind: str,
+    fake: bool = True,
+    decoders: dict[str, Callable[[str], bytes]] | None = None,
+) -> bytes:
+    """Codec boundary. A registered decoder (see ``register_decoder``) wins;
+    otherwise this is a STUB — the container has no image/audio libraries —
+    that raises in real mode or emits a deterministic fake payload in test
+    mode."""
+    reg = _DECODERS if decoders is None else decoders
+    dec = reg.get(kind) or reg.get("*")
+    if dec is not None:
+        return dec(media_ref)
     if not fake:
         raise NotImplementedError(
             "media decoding requires codec libraries not present in this environment; "
-            "run with fake=True for the deterministic test payload"
+            "register_decoder() a real codec, or run with fake=True for the "
+            "deterministic test payload"
         )
     # deterministic fake: 64 bytes derived from the ref — stable across runs
     h = hashlib.md5(media_ref.encode()).digest()
@@ -61,6 +90,7 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
     unit-norm feature vector. The decode/extract runs per Arrow batch inside
     ``mapInPandas`` — the scalable shape for codec work (CPU-bound, no shuffle;
     partition count controls parallelism)."""
+    decoders = dict(_DECODERS)  # snapshot into the closure → reaches workers
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -70,7 +100,7 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
             }
             for doc_id, ref, kind in zip(pdf["doc_id"], pdf["media_ref"], pdf["kind"]):
                 try:
-                    payload = decode_media(ref, kind, fake=fake)
+                    payload = decode_media(ref, kind, fake=fake, decoders=decoders)
                     ok = True
                 except NotImplementedError:
                     payload, ok = b"", False

@@ -116,15 +116,21 @@ def sessionize_stream(spark: SparkSession, input_dir: str, gap_seconds: int = 18
     )
 
     def update(key, pdfs, state):
+        import numpy as np  # noqa: PLC0415 — worker-side import
+
         (user,) = key
         last_ts, n = state.get if state.exists else (None, 0)
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"])
-        for t in batch["ts"]:
-            et = t.timestamp()
-            if last_ts is None or et - last_ts > gap_seconds:
-                n += 1
-            last_ts = et
+        # vectorized fold: a session starts wherever the gap to the previous
+        # event (carry-in = state's last_ts) exceeds the threshold — one numpy
+        # diff over the batch, no per-event Python
+        ets = (batch["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64) / 1e9)
+        if len(ets):
+            prev = np.concatenate(([np.nan if last_ts is None else last_ts], ets[:-1]))
+            gaps = ets - prev
+            n += int(np.count_nonzero(np.isnan(gaps) | (gaps > gap_seconds)))
+            last_ts = float(ets[-1])
         state.update((float(last_ts), int(n)))
         yield pd.DataFrame({"user_id": [user], "n_sessions": [n]})
 

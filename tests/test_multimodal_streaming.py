@@ -161,3 +161,35 @@ def test_windowed_event_metrics_batch_semantics(spark):
     assert all(r["n"] > 0 for r in rows)
     # sliding 1h/30m windows: every event lands in exactly 2 windows
     assert sum(r["n"] for r in rows) == 2 * ev.count()
+
+
+def test_decoder_registry_plugin(spark):
+    """A registered decoder activates the real-codec path with no code change:
+    the registry snapshot rides the mapInPandas closure into the workers, so
+    fake=False decodes successfully instead of quarantining."""
+    from semantic_search_system_spark.operators.multimodal import (
+        _fake_features,
+        media_spans,
+        register_decoder,
+        unregister_decoder,
+    )
+
+    def plugin_decoder(media_ref: str) -> bytes:
+        # local def → cloudpickle ships it BY VALUE inside the closure (a real
+        # deployment would instead make its plugin module importable on
+        # executors via --py-files)
+        return b"plugin:" + media_ref.encode()
+
+    media = media_spans(spark.read.parquet(interleaved_path(SF_SMALL))).limit(5)
+    register_decoder("*", plugin_decoder)
+    try:
+        rows = extract_media_features(media, fake=False).collect()
+    finally:
+        unregister_decoder("*")
+    assert rows and all(r["decode_ok"] for r in rows)
+    r0 = rows[0]
+    expect = _fake_features(b"plugin:" + r0["media_ref"].encode(), r0["frame"])
+    assert np.allclose(r0["features"], expect)
+    # without the plugin, fake=False must quarantine (stub boundary intact)
+    bad = extract_media_features(media, fake=False).collect()
+    assert bad and not any(r["decode_ok"] for r in bad)
