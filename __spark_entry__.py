@@ -161,15 +161,18 @@ def _partition_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_search_system_spark.catalog import Catalog
     from semantic_search_system_spark.plans.pipeline import run_pipeline
 
+    import pandas as pd
+
     cat = run_pipeline(spark, sf_dir, _out_root(sf_dir))
     rows = []
     for table in (
         "enriched", "topic_map", "entity_map", "triples", "nodes", "edges", "failed_rows",
     ):
         rows.extend(cat.metrics(table))
-    return spark.createDataFrame(rows).select(
-        "table", "partition_id", "stage", "snapshot_id", "rows_written", "wall_ms"
-    )
+    cols = ["table", "partition_id", "stage", "snapshot_id", "rows_written", "wall_ms"]
+    # pandas→Arrow local relation (see session.local_df): the pickled-RDD
+    # createDataFrame(list) path costs seconds per downstream action
+    return spark.createDataFrame(pd.DataFrame(rows)[cols]).select(*cols)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -123,13 +123,14 @@ def connected_components(
         strategy = "driver" if n_edges <= driver_edge_limit else "distributed"
 
     if strategy == "driver":
+        from ..session import local_df
+
         pairs = [(r["a"], r["b"]) for r in e.collect()]
         mapping = _driver_union_find(pairs)
-        if not mapping:
-            return spark.createDataFrame([], "node string, component string")
-        return spark.createDataFrame(
-            sorted(mapping.items()), "node string, component string"
-        )
+        # local_df (pandas→Arrow local relation), NOT createDataFrame(list):
+        # the pickled-RDD path makes every downstream broadcast/join consumer
+        # round-trip through Python workers (~4-7 s per action on this host)
+        return local_df(spark, sorted(mapping.items()), "node string, component string")
 
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     return _connected_components_distributed(sym, max_iter)

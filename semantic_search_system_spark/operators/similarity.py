@@ -90,6 +90,37 @@ def fit_sample_pred(id_col: str, sample_hex: str):
     return F.substring(F.md5(F.col(id_col).cast("string")), 1, 2) < sample_hex
 
 
+def _kmeans_driver(
+    rows, n_centroids: int, n_iter: int, id_col: str
+) -> list[tuple[int, list[float]]]:
+    """Driver-side Lloyd over a (sample-bounded) fit set — bit-for-bit the
+    same fixpoint as the distributed loop and the DuckDB oracle: first-m-by-id
+    seeding, 6-dp half-away-rounded cosine assignment with lowest-centroid-id
+    tie-break, 6-dp half-away-rounded per-component means, empty clusters
+    dropped. One numpy matmul per iteration instead of a Spark job."""
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    M = np.stack([np.asarray(rows[i]["_v"], dtype=np.float64) for i in order])
+    nrm = np.linalg.norm(M, axis=1)
+    Mn = M / np.where(nrm == 0, 1.0, nrm)[:, None]
+    cents: list[tuple[int, np.ndarray]] = [
+        (int(ids[i]), M[i]) for i in range(min(n_centroids, len(ids)))
+    ]
+    for _ in range(n_iter):
+        cids = np.array([c for c, _ in cents], dtype=np.int64)  # ascending
+        C = np.stack([v for _, v in cents])
+        cn = np.linalg.norm(C, axis=1)
+        Cn = C / np.where(cn == 0, 1.0, cn)[:, None]
+        sims = _round_half_away(Mn @ Cn.T, 6)
+        lab = cids[np.argmax(sims, axis=1)]  # first max → lowest cid
+        cents = [
+            (int(cid), _round_half_away(M[lab == cid].mean(axis=0), 6))
+            for cid in np.unique(lab)  # sorted; empty clusters drop out
+        ]
+    return [(cid, [float(x) for x in v]) for cid, v in cents]
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_centroids: int = 8,
@@ -97,6 +128,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_sample_hex: str | None = None,
+    max_driver_fit: int = 200_000,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's k-means → driver-held [(centroid_id, cvec)].
 
@@ -116,10 +148,19 @@ def kmeans_centroids(
     scale the Lloyd iterations must never scan the full corpus (the final
     full-corpus assignment pass in build_ivf_index already does exactly one
     scan). Sampling is by id hash, so the fit set — and therefore the
-    centroids — is identical in Spark and the DuckDB oracle."""
+    centroids — is identical in Spark and the DuckDB oracle.
+
+    When the fit set is driver-sized (≤ max_driver_fit rows — always true for
+    a properly-sampled fit at any corpus scale), the Lloyd loop runs ON THE
+    DRIVER over the collected sample (_kmeans_driver): identical fixpoint, one
+    collect instead of 2×n_iter Spark jobs. The distributed loop below remains
+    the fallback for an unsampled full-corpus fit."""
     d = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
     if fit_sample_hex is not None:
         d = d.where(fit_sample_pred(id_col, fit_sample_hex))
+    head = d.limit(max_driver_fit + 1).collect()
+    if len(head) <= max_driver_fit:
+        return _kmeans_driver(head, n_centroids, n_iter, id_col)
     d = d.localCheckpoint(eager=True)  # consumed once per iteration + seeding
     cent_rows = [
         (int(r[id_col]), list(r["_v"]))
@@ -197,7 +238,9 @@ def build_ivf_index(
         cent_rows = kmeans_centroids(
             vectors, n_centroids, n_iter, id_col, vec_col, fit_sample_hex
         )
-        cent = spark.createDataFrame(cent_rows, "centroid_id long, cvec array<double>")
+        from ..session import local_df
+
+        cent = local_df(spark, cent_rows, "centroid_id long, cvec array<double>")
         cat.commit_partitions(
             # n_centroids rows — one task, not one per shuffle partition
             cent.coalesce(1).withColumn("bucket", F.lit(0)),
@@ -255,11 +298,11 @@ def ivf_topk(
 ) -> DataFrame:
     """Index-free inline IVF top-k (ad-hoc / tests); same math as the indexed
     path, nothing persisted."""
+    from ..session import local_df
+
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     cent_rows = kmeans_centroids(vectors, n_centroids, n_iter, id_col, vec_col, fit_sample_hex)
-    cent = vectors.sparkSession.createDataFrame(
-        cent_rows, "centroid_id long, cvec array<double>"
-    )
+    cent = local_df(vectors.sparkSession, cent_rows, "centroid_id long, cvec array<double>")
     d = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
     assignments = _assignments(d, cent_rows, id_col)
     probed = (

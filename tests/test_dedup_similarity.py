@@ -166,3 +166,17 @@ def test_ivf_index_input_fingerprint_guard(spark, tmp_root):
     build_ivf_index(spark, e, cat, n_centroids=4, n_iter=1)  # same input → no-op
     with pytest.raises(ValueError, match="built with"):
         build_ivf_index(spark, e.where("vec_id <> 3"), cat, n_centroids=4, n_iter=1)
+
+
+def test_kmeans_driver_fit_matches_distributed(spark):
+    """The driver-side Lloyd over the collected sample must reach bit-for-bit
+    the same centroids as the distributed loop (same seeding, rounding, and
+    tie-breaks) — the committed IVF artifacts and the DuckDB oracle depend on
+    this fixpoint being path-independent."""
+    from semantic_search_system_spark.operators.similarity import kmeans_centroids
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    for hex_ in (None, "80"):
+        driver = kmeans_centroids(e, 8, 2, fit_sample_hex=hex_)
+        dist = kmeans_centroids(e, 8, 2, fit_sample_hex=hex_, max_driver_fit=0)
+        assert driver == dist
