@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .embedding import embed_batch
-from .extraction import _extract_batch, tokenize_batch
+from .extraction import _extract_batch
 
 ENRICH_RESULT = T.StructType(
     [
@@ -33,7 +33,13 @@ ENRICH_RESULT = T.StructType(
 
 @F.pandas_udf(ENRICH_RESULT)
 def enrich_udf(contents: pd.Series) -> pd.DataFrame:
-    toks = tokenize_batch(contents)  # once — extract and embed share the spec tokenizer
+    # Contents are PRE-CLEANED (enrich_content contract): clean_text_col ran
+    # JVM-side during assembly and the spec cleaner is idempotent, so the two
+    # Python regex passes of tokenize_batch would only stream the whole
+    # content column through two more string copies — split on whitespace is
+    # the entire remaining tokenizer. (The standalone extract_udf/embed_udf
+    # keep the full cleaner for arbitrary input.)
+    toks = contents.fillna("").str.split().reset_index(drop=True)
     out = _extract_batch(contents, toks)
     out["embedding"] = embed_batch(contents, toks=toks)
     return out
@@ -41,7 +47,11 @@ def enrich_udf(contents: pd.Series) -> pd.DataFrame:
 
 def enrich_content(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Attach entities/topics (array<struct<text,label>>) + embedding via the
-    fused UDF — output-identical to extract_entities_topics ∘ with_embedding."""
+    fused UDF — output-identical to extract_entities_topics ∘ with_embedding.
+
+    CONTRACT: ``content_col`` must already be spec-clean (the
+    ``clean_text_col`` output that assemble_content produces) — the fused UDF
+    skips the redundant Python-side re-clean."""
     df = df.withColumn("_en", enrich_udf(F.col(content_col)))
     return (
         df.withColumn(

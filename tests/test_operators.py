@@ -159,3 +159,30 @@ def test_token_budget_pack_no_global_window(spark):
     for s in specs:
         # first arg of every spec must be the pid partition key, not an ORDER BY
         assert s.split(",")[0].strip().startswith("pid"), f"partition-less window: {s}"
+
+
+def test_fused_enrich_equals_unfused(spark):
+    """enrich_content (fused UDF, pre-cleaned-content fast tokenizer) must be
+    output-identical to extract_entities_topics ∘ with_embedding (full spec
+    tokenizer) on assembled content — the idempotent-cleaner contract."""
+    from semantic_search_system_spark.fixtures.interleave import interleaved_path
+    from semantic_search_system_spark.operators.embedding import with_embedding
+    from semantic_search_system_spark.operators.enrichment import enrich_content
+    from semantic_search_system_spark.operators.extraction import (
+        assemble_content,
+        extract_entities_topics,
+        has_usable_text,
+    )
+
+    docs = assemble_content(
+        spark.read.parquet(interleaved_path(SF_SMALL)).where(has_usable_text())
+    )
+    cols = ["doc_id", "entities", "topics", "embedding"]
+    fused = {r["doc_id"]: r for r in enrich_content(docs).select(cols).collect()}
+    unfused = {
+        r["doc_id"]: r
+        for r in extract_entities_topics(with_embedding(docs)).select(cols).collect()
+    }
+    assert fused.keys() == unfused.keys() and len(fused) > 100
+    for k in fused:
+        assert fused[k] == unfused[k], k
