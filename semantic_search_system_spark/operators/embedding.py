@@ -31,30 +31,26 @@ def _slot(token: str) -> tuple[int, float]:
 
 
 def embed_batch(
-    texts: pd.Series, dim: int = spec.EMBED_DIM, toks: pd.Series | None = None
+    texts: pd.Series,
+    dim: int = spec.EMBED_DIM,
+    toks: pd.Series | None = None,
+    ts=None,
 ) -> pd.Series:
-    """Vectorized: explode tokens → (row, token) counts → one np.add.at
+    """Vectorized: the factorized (row, token)+count stream → one np.add.at
     scatter-add. Python loops touch only the batch's UNIQUE tokens (the
-    vocabulary, tiny next to the token stream). ``toks`` lets the fused
-    enrich UDF pass the already-computed token lists (identical spec
-    tokenization) instead of re-splitting the content strings."""
-    if toks is None:
-        from .extraction import tokenize_batch
+    vocabulary, tiny next to the token stream). ``toks``/``ts`` let the fused
+    enrich UDF pass the already-computed token lists / TokenStream (identical
+    spec tokenization) instead of re-splitting and re-factorizing."""
+    if ts is None:
+        from .extraction import build_token_stream, tokenize_batch
 
-        toks = tokenize_batch(texts)
-    out = np.zeros((len(texts), dim), dtype=np.float64)
-    tok = toks.explode()
-    tok = tok[tok.notna() & (tok != "")]
-    if len(tok):
-        cnt = tok.groupby([tok.index, tok]).size()
-        rows = cnt.index.get_level_values(0).to_numpy()
-        words = cnt.index.get_level_values(1)
-        counts = cnt.to_numpy(dtype=np.float64)
-        codes, uniq = pd.factorize(words)
-        slot_arr = np.array([_slot(w) for w in uniq])  # vocab-sized loop only
-        idxs = slot_arr[codes, 0].astype(np.int64)
-        signs = slot_arr[codes, 1]
-        np.add.at(out, (rows, idxs), signs * counts)
+        ts = build_token_stream(tokenize_batch(texts) if toks is None else toks)
+    out = np.zeros((ts.n, dim), dtype=np.float64)
+    if len(ts.prow):
+        slot_arr = np.array([_slot(w) for w in ts.uniq])  # vocab-sized loop only
+        idxs = slot_arr[ts.pcode, 0].astype(np.int64)
+        signs = slot_arr[ts.pcode, 1]
+        np.add.at(out, (ts.prow, idxs), signs * ts.pcnt.astype(np.float64))
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     np.divide(out, norms, out=out, where=norms > 0)
     return pd.Series(list(out.astype(np.float32)))

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .embedding import embed_batch
-from .extraction import _extract_batch
+from .extraction import _extract_batch, build_token_stream
 
 ENRICH_RESULT = T.StructType(
     [
@@ -40,8 +40,9 @@ def enrich_udf(contents: pd.Series) -> pd.DataFrame:
     # the entire remaining tokenizer. (The standalone extract_udf/embed_udf
     # keep the full cleaner for arbitrary input.)
     toks = contents.fillna("").str.split().reset_index(drop=True)
-    out = _extract_batch(contents, toks)
-    out["embedding"] = embed_batch(contents, toks=toks)
+    ts = build_token_stream(toks)  # once — extract and embed share the stream
+    out = _extract_batch(contents, ts=ts)
+    out["embedding"] = embed_batch(contents, ts=ts)
     return out
 
 

@@ -22,6 +22,10 @@ shuffle.
 
 from __future__ import annotations
 
+from itertools import chain
+from typing import NamedTuple
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -130,21 +134,6 @@ def assemble_content(df: DataFrame) -> DataFrame:
     return out
 
 
-def _top_k_per_row(items: pd.Series, k: int) -> pd.Series:
-    """(row-indexed string Series) → per-row top-k list by (count desc, item asc).
-
-    Vectorized: one groupby-size + one sort + one groupby-head — no per-row
-    Python. The sort implements spec.top_k_by_freq's deterministic tie-break."""
-    if items.empty:
-        return pd.Series(dtype=object)
-    cnt = items.groupby([items.index, items]).size()
-    df = cnt.rename("c").reset_index()
-    df.columns = ["row", "item", "c"]
-    df = df.sort_values(["row", "c", "item"], ascending=[True, False, True], kind="mergesort")
-    top = df.groupby("row", sort=False).head(k)
-    return top.groupby("row", sort=False)["item"].agg(list)
-
-
 def tokenize_batch(contents: pd.Series) -> pd.Series:
     """The spec's batch tokenization (lower → strip non-alnum → split),
     row-reindexed — shared by extraction and embedding so the fused enrich
@@ -158,30 +147,135 @@ def tokenize_batch(contents: pd.Series) -> pd.Series:
     return toks.reset_index(drop=True)
 
 
-def _extract_batch(contents: pd.Series, toks: pd.Series | None = None) -> pd.DataFrame:
-    """Batch extraction implementing spec.extract_doc with pandas vector ops
-    (explode + groupby run in C; zero per-row Python on the hot path)."""
-    if toks is None:
-        toks = tokenize_batch(contents)
-    tok = toks.explode()
-    tok = tok[tok.notna() & (tok != "")]
-    stop = sorted(spec.STOPWORDS)
+class TokenStream(NamedTuple):
+    """The batch's factorized token stream, computed ONCE and shared by
+    entity extraction, topic extraction, and embedding (the fused enrich UDF
+    builds it a single time per Arrow batch). Python never touches individual
+    tokens again downstream — only vocabulary-sized arrays and C-level passes
+    over the integer streams.
 
-    ents_by_row = _top_k_per_row(tok[~tok.isin(stop)], spec.TOP_K_ENTITIES)
+    rows/codes: per-occurrence row index and vocabulary code (stream order —
+    adjacency within a row IS bigram adjacency); uniq: the batch vocabulary;
+    prow/pcode/pcnt: the (row, token) occurrence counts."""
 
-    nxt = tok.groupby(level=0).shift(-1)
-    mask = nxt.notna() & ~tok.isin(stop) & ~nxt.isin(stop)
-    bigrams = tok[mask] + " " + nxt[mask]
-    tops_by_row = _top_k_per_row(bigrams, spec.TOP_K_TOPICS)
+    n: int
+    rows: np.ndarray
+    codes: np.ndarray
+    uniq: np.ndarray
+    prow: np.ndarray
+    pcode: np.ndarray
+    pcnt: np.ndarray
 
-    n = len(contents)
-    empty: list[str] = []
-    return pd.DataFrame(
-        {
-            "entities": [ents_by_row.get(i, empty) for i in range(n)],
-            "topics": [tops_by_row.get(i, empty) for i in range(n)],
-        }
+
+def build_token_stream(toks: pd.Series) -> TokenStream:
+    lists = toks.tolist()
+    n = len(lists)
+    lens = np.fromiter(
+        (len(t) if isinstance(t, list) else 0 for t in lists), np.int64, count=n
     )
+    flat = np.array(
+        list(chain.from_iterable(t if isinstance(t, list) else [] for t in lists)),
+        dtype=object,
+    )
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = flat != ""  # spec tokens are never empty; guard arbitrary input
+    if not keep.all():
+        flat, rows = flat[keep], rows[keep]
+    if flat.size:
+        codes, uniq = pd.factorize(flat)
+        codes = codes.astype(np.int64)
+        uniq = np.asarray(uniq, dtype=object)
+        key = rows * len(uniq) + codes
+        ukey, pcnt = np.unique(key, return_counts=True)
+        prow, pcode = ukey // len(uniq), ukey % len(uniq)
+    else:
+        codes = prow = pcode = pcnt = np.empty(0, np.int64)
+        uniq = np.empty(0, object)
+    return TokenStream(n, rows, codes, uniq, prow, pcode, pcnt)
+
+
+def _rank_in_group(sorted_groups: np.ndarray) -> np.ndarray:
+    """0-based rank within each run of equal values (input must be sorted)."""
+    first = np.flatnonzero(np.r_[True, sorted_groups[1:] != sorted_groups[:-1]])
+    seg = np.diff(np.append(first, len(sorted_groups)))
+    return np.arange(len(sorted_groups)) - np.repeat(first, seg)
+
+
+def _topk_order(prow: np.ndarray, cnt: np.ndarray, lexcode: np.ndarray, n_lex: int) -> np.ndarray:
+    """argsort by (row asc, count desc, lexcode asc). One composite-int64-key
+    sort when the ranges fit (a multi-key np.lexsort is k stable argsorts —
+    measured 4-6x slower on million-pair batches); lexsort fallback otherwise."""
+    if len(prow) == 0:
+        return np.empty(0, np.int64)
+    cmax = int(cnt.max()) + 1
+    rmax = int(prow[-1]) + 1  # prow is sorted ascending (np.unique output)
+    if rmax * cmax * max(n_lex, 1) < (1 << 62):
+        key = (prow * cmax + (cmax - 1 - cnt)) * n_lex + lexcode
+        return np.argsort(key, kind="stable")
+    return np.lexsort((lexcode, -cnt, prow))
+
+
+def _extract_batch(
+    contents: pd.Series, toks: pd.Series | None = None, ts: TokenStream | None = None
+) -> pd.DataFrame:
+    """Batch extraction implementing spec.extract_doc over the factorized
+    token stream: per-(row, token) counts via one integer np.unique, top-k
+    selection via one np.lexsort (count desc, lexicographic asc — the spec
+    tie-break), bigram adjacency via a shifted-codes comparison. Python loops
+    touch only the vocabulary and the ≤ k·n winners."""
+    if ts is None:
+        ts = build_token_stream(tokenize_batch(contents) if toks is None else toks)
+    n = ts.n
+    ents: list[list[str]] = [[] for _ in range(n)]
+    tops: list[list[str]] = [[] for _ in range(n)]
+    if len(ts.rows):
+        V = len(ts.uniq)
+        # lexicographic rank per vocabulary entry (vocab-sized sort only)
+        lexrank = np.empty(V, np.int64)
+        lexrank[np.argsort(ts.uniq)] = np.arange(V)
+        is_stop = np.isin(ts.uniq, _STOP_ARR)
+
+        em = ~is_stop[ts.pcode]
+        eprow, epcode, ecnt = ts.prow[em], ts.pcode[em], ts.pcnt[em]
+        order = _topk_order(eprow, ecnt, lexrank[epcode], V)
+        r = eprow[order]
+        keep = _rank_in_group(r) < spec.TOP_K_ENTITIES
+        for row, c in zip(r[keep].tolist(), epcode[order[keep]].tolist()):
+            ents[row].append(ts.uniq[c])
+
+        # adjacent bigrams: stream order is document order, so neighbor pairs
+        # within the same row are exactly the spec's adjacent token pairs
+        adj = (
+            (ts.rows[1:] == ts.rows[:-1])
+            & ~is_stop[ts.codes[1:]]
+            & ~is_stop[ts.codes[:-1]]
+        )
+        b1, b2, brow = ts.codes[:-1][adj], ts.codes[1:][adj], ts.rows[:-1][adj]
+        if len(brow):
+            # "t1 t2" string order == (t1, t2) tuple order: tokens are
+            # [a-z0-9]+ and ' ' sorts below every token character, so a
+            # prefix terminates first — lexsort on the two code ranks
+            bid = b1 * V + b2
+            bc, bu = pd.factorize(bid)
+            bu = np.asarray(bu, dtype=np.int64)
+            B = len(bu)
+            bukey, bcnt = np.unique(brow * B + bc, return_counts=True)
+            bprow, bpc = bukey // B, bukey % B
+            bu1, bu2 = bu // V, bu % V
+            # rank the B unique bigram VALUES once (lexicographic = (t1, t2)
+            # rank pair), then one composite sort over the (row, bigram) pairs
+            border = np.lexsort((lexrank[bu2], lexrank[bu1]))
+            brank = np.empty(B, np.int64)
+            brank[border] = np.arange(B)
+            order = _topk_order(bprow, bcnt, brank[bpc], B)
+            r = bprow[order]
+            keep = _rank_in_group(r) < spec.TOP_K_TOPICS
+            for row, pc in zip(r[keep].tolist(), bpc[order[keep]].tolist()):
+                tops[row].append(ts.uniq[bu1[pc]] + " " + ts.uniq[bu2[pc]])
+    return pd.DataFrame({"entities": ents, "topics": tops})
+
+
+_STOP_ARR = np.array(sorted(spec.STOPWORDS), dtype=object)
 
 
 @F.pandas_udf(EXTRACT_RESULT)
