@@ -100,7 +100,7 @@ def run_pipeline_once(cpus: int, sf_dir: str, amp: int) -> dict:
             stage="quarantine",
         )
         enriched = enrich_content(
-            assemble_content(docs_b.where(usable))
+            assemble_content(docs_b.where(usable), clean=False)
         ).select(
             BUCKET_COL, "doc_id", "url", "title", "doc_date", "content", "summary",
             "entities", "topics", "embedding", "media_refs",

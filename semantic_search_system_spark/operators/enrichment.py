@@ -1,11 +1,17 @@
-"""Fused enrichment UDF: entities + topics + embedding in ONE Arrow stage.
+"""Fused enrichment UDF: clean + entities + topics + embedding in ONE Arrow stage.
 
 ``extract_udf`` and ``embed_udf`` are kept as standalone operators, but the
-pipeline uses this fused form on the hot path: both extractors tokenize the
-same cleaned content, so fusing them halves the Python-side tokenization AND
-halves the Arrow serialization of the content column (one batch transfer
-instead of two). At 10^12 docs the enrichment stage is the dominant compute —
-this is the single biggest constant-factor lever.
+pipeline uses this fused form on the hot path: cleaning, both extractors and
+the embedder share one tokenization/factorization of the same content, so the
+batch is cleaned once, tokenized once, and transferred over Arrow once. At
+10^12 docs the enrichment stage is the dominant compute — this is the single
+biggest constant-factor lever.
+
+The text cleaning itself runs HERE (pyarrow compute, RE2) rather than as JVM
+``regexp_replace``: profiling showed the two Java regex passes were the most
+expensive expressions in the whole enrich stage (~11 s per 320k docs at
+local[4]), while RE2 does the same work at memory speed — and RE2 is also
+what the DuckDB oracle uses, so the engines agree on the regex dialect.
 
 Must stay spec-exact: delegates to the same batch kernels the standalone
 operators use (operators/extraction._extract_batch, operators/embedding
@@ -15,6 +21,8 @@ embed_batch), so the UDF==native==golden cross-checks keep holding.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -24,6 +32,7 @@ from .extraction import _extract_batch, build_token_stream
 
 ENRICH_RESULT = T.StructType(
     [
+        T.StructField("content", T.StringType()),
         T.StructField("entities", T.ArrayType(T.StringType())),
         T.StructField("topics", T.ArrayType(T.StringType())),
         T.StructField("embedding", T.ArrayType(T.FloatType())),
@@ -31,31 +40,39 @@ ENRICH_RESULT = T.StructType(
 )
 
 
+def clean_batch(contents: pd.Series) -> pd.Series:
+    """The spec cleaner (lower → strip non-alnum → collapse ws → trim) as
+    vectorized Arrow kernels — RE2, one pass per op, no Python per row."""
+    arr = pa.Array.from_pandas(contents.fillna("").astype(str))
+    arr = pc.utf8_lower(arr)
+    arr = pc.replace_substring_regex(arr, pattern=r"[^a-z0-9\s]", replacement="")
+    arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
+    arr = pc.utf8_trim_whitespace(arr)
+    return arr.to_pandas()
+
+
 @F.pandas_udf(ENRICH_RESULT)
 def enrich_udf(contents: pd.Series) -> pd.DataFrame:
-    # Contents are PRE-CLEANED (enrich_content contract): clean_text_col ran
-    # JVM-side during assembly and the spec cleaner is idempotent, so the two
-    # Python regex passes of tokenize_batch would only stream the whole
-    # content column through two more string copies — split on whitespace is
-    # the entire remaining tokenizer. (The standalone extract_udf/embed_udf
-    # keep the full cleaner for arbitrary input.)
-    toks = contents.fillna("").str.split().reset_index(drop=True)
+    cleaned = clean_batch(contents).reset_index(drop=True)
+    # collapsed + trimmed → whitespace split is the entire spec tokenizer
+    toks = cleaned.str.split()
     ts = build_token_stream(toks)  # once — extract and embed share the stream
-    out = _extract_batch(contents, ts=ts)
-    out["embedding"] = embed_batch(contents, ts=ts)
+    out = _extract_batch(cleaned, ts=ts)
+    out.insert(0, "content", cleaned)
+    out["embedding"] = embed_batch(cleaned, ts=ts)
     return out
 
 
 def enrich_content(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Attach entities/topics (array<struct<text,label>>) + embedding via the
-    fused UDF — output-identical to extract_entities_topics ∘ with_embedding.
-
-    CONTRACT: ``content_col`` must already be spec-clean (the
-    ``clean_text_col`` output that assemble_content produces) — the fused UDF
-    skips the redundant Python-side re-clean."""
+    """Attach cleaned content + entities/topics (array<struct<text,label>>) +
+    embedding via the fused UDF — output-identical to
+    ``clean_text_col`` ∘ ``extract_entities_topics`` ∘ ``with_embedding``.
+    ``content_col`` may be raw (assemble_content(clean=False)) or already
+    clean — the cleaner is idempotent."""
     df = df.withColumn("_en", enrich_udf(F.col(content_col)))
     return (
-        df.withColumn(
+        df.withColumn(content_col, F.col("_en.content"))
+        .withColumn(
             "entities",
             F.transform(
                 F.col("_en.entities"),

@@ -70,7 +70,9 @@ def build_enriched(spark: SparkSession, sf_dir: str, cat: Catalog, n_buckets: in
             F.lit("no_text_spans").alias("reason"),
         )
         cat.commit_partitions(bad, "failed_rows", stage="quarantine")
-        enriched = enrich_content(assemble_content(docs.where(usable)))
+        # clean=False: the fused UDF cleans batch-wise via Arrow RE2 (the JVM
+        # regexp pair was the enrich stage's most expensive expression)
+        enriched = enrich_content(assemble_content(docs.where(usable), clean=False))
         enriched = enriched.select(
             BUCKET_COL, "doc_id", "url", "title", "doc_date", "content", "summary",
             "entities", "topics", "embedding", "media_refs",

@@ -162,9 +162,10 @@ def test_token_budget_pack_no_global_window(spark):
 
 
 def test_fused_enrich_equals_unfused(spark):
-    """enrich_content (fused UDF, pre-cleaned-content fast tokenizer) must be
-    output-identical to extract_entities_topics ∘ with_embedding (full spec
-    tokenizer) on assembled content — the idempotent-cleaner contract."""
+    """enrich_content on RAW content (fused UDF: Arrow-RE2 clean + shared
+    token stream) must be output-identical — INCLUDING the cleaned content
+    column — to JVM clean_text_col + extract_entities_topics ∘ with_embedding
+    on the same docs."""
     from semantic_search_system_spark.fixtures.interleave import interleaved_path
     from semantic_search_system_spark.operators.embedding import with_embedding
     from semantic_search_system_spark.operators.enrichment import enrich_content
@@ -174,14 +175,19 @@ def test_fused_enrich_equals_unfused(spark):
         has_usable_text,
     )
 
-    docs = assemble_content(
-        spark.read.parquet(interleaved_path(SF_SMALL)).where(has_usable_text())
-    )
-    cols = ["doc_id", "entities", "topics", "embedding"]
-    fused = {r["doc_id"]: r for r in enrich_content(docs).select(cols).collect()}
+    base = spark.read.parquet(interleaved_path(SF_SMALL)).where(has_usable_text())
+    cols = ["doc_id", "content", "entities", "topics", "embedding"]
+    fused = {
+        r["doc_id"]: r
+        for r in enrich_content(assemble_content(base, clean=False)).select(cols).collect()
+    }
     unfused = {
         r["doc_id"]: r
-        for r in extract_entities_topics(with_embedding(docs)).select(cols).collect()
+        for r in extract_entities_topics(
+            with_embedding(assemble_content(base, clean=True))
+        )
+        .select(cols)
+        .collect()
     }
     assert fused.keys() == unfused.keys() and len(fused) > 100
     for k in fused:
