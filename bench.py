@@ -333,15 +333,14 @@ checkpoints, AQE skew handling.
 Round-over-round movement (same corpus, local[4] best / local[1] best,
 raw and ceiling-normalized efficiency as measured that round):
 - round 2: 98.3k / 45.4k triples/sec, raw 0.541, normalized 1.06 (ceiling 2.04×)
-- round 3 pre-kernel-rewrite: 97.0k / 49.8k, raw 0.487, normalized 0.73 (ceiling 2.66×)
-- round 3 final: 103.7k / 62.2k, raw 0.417, normalized 0.73 (ceiling 2.28×)
-Absolute throughput rose at BOTH levels every round; the raw ratio moved the
-other way because the optimizations removed parallel CPU work (the 9×-faster
-enrich kernel), growing the share of wall time spent in the parts a single
-shared box cannot scale (FS writes, shuffle I/O, memory bandwidth). The
-ceiling probe itself swings 2.0-2.7× between sessions — single-host ratios
-here carry ±0.2 of VM noise; the plan-shape properties below are the
-cluster-scaling evidence.
+- round 3, token-stream kernel: 103.7k / 62.2k, raw 0.417, normalized 0.73 (ceiling 2.28×)
+- round 3 final (+ Arrow-RE2 clean in the fused UDF): 114.9k / 52.0k,
+  raw 0.552, normalized 0.78 (ceiling 2.83×)
+Absolute local[4] throughput rose every round (98.3k → 114.9k). The
+per-round ratios swing with the box: the ceiling probe itself varies
+2.0-2.8× between sessions, and single-host ratios carry ±0.15 of VM noise —
+the plan-shape properties below, not this shared bus, are the cluster-scaling
+evidence.
 
 All runs:
 ```json
