@@ -51,8 +51,8 @@ def enrich_stream(
     """Stream the interleaved corpus through the enrichment stages into the
     Catalog. Returns the started StreamingQuery (caller awaits/stops)."""
     from ..catalog import Catalog, with_bucket
-    from ..operators.embedding import with_embedding
-    from ..operators.extraction import assemble_content, extract_entities_topics
+    from ..operators.enrichment import enrich_content
+    from ..operators.extraction import assemble_content
 
     stream = (
         spark.readStream.schema(SPANS_SCHEMA)
@@ -62,7 +62,9 @@ def enrich_stream(
     cat = Catalog(out_root)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        enriched = extract_entities_topics(with_embedding(assemble_content(batch_df)))
+        # the SAME fused enrich stage as the batch plan (one logical plan,
+        # two execution modes) — Arrow-RE2 clean + shared token stream
+        enriched = enrich_content(assemble_content(batch_df, clean=False))
         enriched = with_bucket(enriched, "doc_id", n_buckets)
         # Epoch-scope the partition key: each micro-batch owns its own
         # `<epoch>_<bucket>` partitions. A replayed epoch (foreachBatch may
