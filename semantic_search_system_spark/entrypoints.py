@@ -1721,6 +1721,149 @@ def quarantine_failed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "repetition_3gram_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_CLEAN_SQL}, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                      ELSE [] END AS grams
+          FROM t)
+    SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+           round(CASE WHEN len(grams) > 0
+                      THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                      ELSE 0.0 END, 6) AS rep_ratio,
+           round(CASE WHEN len(grams) > 0
+                      THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                      ELSE 0.0 END, 6) > 0.2 AS flagged
+    FROM g
+    """,
+)
+def repetition_3gram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filter (training-data pipeline op, the Gopher/C4
+    duplicate-n-gram rule): fraction of a doc's word 3-grams that are repeats;
+    docs above the threshold get flagged for removal. Pure native expressions
+    — one scan, no shuffle; the token array is bound as a real column so the
+    per-index lambda never re-evaluates the split (the round-1 inlining
+    pitfall)."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "_toks", F.split(clean_text_col(F.col("text")), " ")
+    )
+    toks = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - 3)
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 3), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.withColumn("_grams", grams)
+    total = F.size(F.col("_grams"))
+    ratio = F.round(
+        F.when(
+            total > 0,
+            1.0 - F.size(F.array_distinct(F.col("_grams"))).cast("double") / total,
+        ).otherwise(0.0),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        total.cast("long").alias("n_grams"),
+        ratio.alias("rep_ratio"),
+        (ratio > 0.2).alias("flagged"),
+    )
+
+
+# PII patterns shared by the Spark query and the DuckDB oracle. Both engines
+# get the identical pattern strings; the syntax used (char classes, \\d,
+# bounded repeats) behaves the same in Java regex and RE2.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{4}"
+
+
+@query(
+    "pii_scrub_audit",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@mail.example.com or call 555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents),
+    scrub AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+             regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM aug)
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t1, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM scrub
+    """,
+)
+def pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data pipeline op): detect + redact emails and
+    phone numbers, reporting per-doc counts and the md5 of the scrubbed text.
+    The synthetic corpus carries no PII, so the query first APPENDS a
+    deterministic email + phone per doc (identically in both engines) — the
+    redaction path is genuinely exercised, not vacuously green. Native regex
+    expressions end to end; at scale this is a map-only scan."""
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = d.withColumn("_t", aug)
+    d = d.withColumn(
+        "n_emails", F.size(F.regexp_extract_all(F.col("_t"), F.lit(_PII_EMAIL), 0)).cast("long")
+    ).withColumn("_t1", F.regexp_replace(F.col("_t"), _PII_EMAIL, "<EMAIL>"))
+    return d.select(
+        "doc_id",
+        "n_emails",
+        F.size(F.regexp_extract_all(F.col("_t1"), F.lit(_PII_PHONE), 0)).cast("long").alias("n_phones"),
+        F.md5(F.regexp_replace(F.col("_t1"), _PII_PHONE, "<PHONE>")).alias("scrubbed_md5"),
+    )
+
+
+# Deterministic per-source acceptance probabilities for the domain-mixing
+# sampler: upweighted sources keep 75% of docs, the long tail keeps 25%.
+# Thresholds are exact 16-bit integers so both engines compare identically.
+_MIX_UPWEIGHTED = ("src0", "src1", "src2", "src3", "src4")
+_MIX_HI, _MIX_LO = 49152, 16384  # 0.75 * 65536, 0.25 * 65536
+
+
+@query(
+    "source_mix_sample",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                              < CASE WHEN source IN {_MIX_UPWEIGHTED!r} THEN {_MIX_HI}
+                                     ELSE {_MIX_LO} END
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents GROUP BY source
+    """,
+)
+def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sampler (training-data pipeline op): re-weight the corpus
+    toward target per-source proportions with DETERMINISTIC md5-threshold
+    acceptance — reproducible across engines, runs and cluster sizes, unlike
+    rand(); the standard way an LLM data pipeline mixes web/books/code
+    sources to a target distribution. One scan, map-side-combined counts."""
+    d = load(spark, sf_dir, "documents")
+    h16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    thresh = F.when(F.col("source").isin(*_MIX_UPWEIGHTED), F.lit(_MIX_HI)).otherwise(
+        F.lit(_MIX_LO)
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum((h16 < thresh).cast("int")).cast("long").alias("n_sampled"),
+    )
+
+
 # Suffix-rule lemmatization-lite (C3): first matching rule wins. Each rule is
 # (suffix, replacement, min_token_len, excluded_endings). Deterministic and
 # expressed identically in Spark and the DuckDB oracle.
