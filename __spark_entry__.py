@@ -89,8 +89,10 @@ _PRIORITY = [
     # round-2 additions
     "change_detection_fullouter", "quarantine_failed_rows", "lemma_token_counts",
     "decontaminate_vs_holdout",
-    # round-3 training-data additions (quality filter / PII / domain mixing)
+    # round-3 training-data additions (quality filter / PII / domain mixing /
+    # BPE-ish token counting)
     "repetition_3gram_filter", "pii_scrub_audit", "source_mix_sample",
+    "bpe_token_counts",
     # round-1 hash-fails fixed in round 2 — r02 rows prove the fix
     "events_monthly_metrics", "doc_quality_scores", "media_attrs_per_doc",
     "json_props_extract",
@@ -106,15 +108,15 @@ _PRIORITY = [
     "pricing_summary", "top_parts_per_supplier", "suppliers_per_nation",
     "nation_revenue_rank", "first_order_per_customer", "entity_position_backjoin",
     "asof_last_click_before_error", "span_sequence_invariant",
-    "minmax_normalize_orders",
     "fuzzy_nation_pairs", "semi_anti_customers",
 ]
 _TAIL = [
     # moved to tail (round 3) to keep the 50-query window when
-    # search_pro_params and the three training-data queries entered;
-    # all unchanged since their green r02 rows
+    # search_pro_params and the four training-data queries entered; all
+    # unchanged since their green r02 rows (minmax's W1/C13 evidence also
+    # lives in-window via search_kb's [1,100] normalization)
     "bucketed_colocated_join", "events_pivot_manual", "month_windows",
-    "order_price_quantiles",
+    "order_price_quantiles", "minmax_normalize_orders",
     # A4 centroid math is now also hash-evidenced by ann_ivf_top10's k-means
     # oracle; this twin was green in r01 and is unchanged
     "centroid_per_label",

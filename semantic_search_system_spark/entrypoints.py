@@ -453,6 +453,37 @@ def clean_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer regex, simplified to the subset whose semantics
+# are identical in Java regex (Spark) and RE2 (DuckDB): leftmost-first
+# alternation, no lookahead (RE2 has none). "BPE-ish" per the round brief —
+# contractions, letter runs, digit runs, punctuation runs, whitespace runs.
+_BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+@query(
+    "bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split({_CLEAN_SQL}, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_REGEX.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways the round brief asks for: whitespace tokens
+    over the cleaned text AND a BPE-ish pre-tokenizer regex over the raw text
+    (the budget-estimation pass an LLM data pipeline runs before packing).
+    Native regex expressions — map-only scan, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(clean_text_col(F.col("text")), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_REGEX), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
 @query(
     "top5_entities_per_doc",
     oracle=f"""
