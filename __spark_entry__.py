@@ -92,7 +92,7 @@ _PRIORITY = [
     # round-3 training-data additions (quality filter / PII / domain mixing /
     # BPE-ish token counting)
     "repetition_3gram_filter", "pii_scrub_audit", "source_mix_sample",
-    "bpe_token_counts",
+    "bpe_token_counts", "rolling_hash_fingerprint",
     # round-1 hash-fails fixed in round 2 — r02 rows prove the fix
     "events_monthly_metrics", "doc_quality_scores", "media_attrs_per_doc",
     "json_props_extract",
@@ -108,7 +108,7 @@ _PRIORITY = [
     "pricing_summary", "top_parts_per_supplier", "suppliers_per_nation",
     "nation_revenue_rank", "first_order_per_customer", "entity_position_backjoin",
     "asof_last_click_before_error", "span_sequence_invariant",
-    "fuzzy_nation_pairs", "semi_anti_customers",
+    "semi_anti_customers",
 ]
 _TAIL = [
     # moved to tail (round 3) to keep the 50-query window when
@@ -117,6 +117,9 @@ _TAIL = [
     # lives in-window via search_kb's [1,100] normalization)
     "bucketed_colocated_join", "events_pivot_manual", "month_windows",
     "order_price_quantiles", "minmax_normalize_orders",
+    # C15 levenshtein evidence also lives in-window via search_simple's
+    # fuzzy_hits; unchanged since its green r02 row
+    "fuzzy_nation_pairs",
     # A4 centroid math is now also hash-evidenced by ann_ivf_top10's k-means
     # oracle; this twin was green in r01 and is unchanged
     "centroid_per_label",

@@ -624,6 +624,46 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Karp-Rabin parameters shared by both engines: token hash = low 32 md5 bits,
+# base < 2^31 and modulus < 2^31 keep every intermediate under 2^63 (ANSI-safe).
+_RH_BASE = 1_000_003
+_RH_MOD = 2_147_483_647
+
+
+@query(
+    "rolling_hash_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split({_CLEAN_SQL}, ' '),
+                 t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+             (acc, h) -> (acc * {_RH_BASE} + h) % {_RH_MOD}) AS BIGINT) AS rolling_fp
+    FROM documents
+    """,
+)
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (round brief: 'document
+    fingerprinting (rolling hash)'): Karp-Rabin polynomial hash over the
+    cleaned token sequence — ORDER-SENSITIVE, unlike the md5-of-prefix C5
+    fingerprint, so reordered-but-equal-set docs fingerprint differently and
+    any token-sequence prefix relation is incrementally extendable (the
+    content-defined-chunking primitive). Identical integer arithmetic in both
+    engines; per-row aggregate evaluated once, map-only scan."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "_toks", F.split(clean_text_col(F.col("text")), " ")
+    )
+    tok_h = F.transform(
+        F.col("_toks"), lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    rolling = F.aggregate(
+        tok_h,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(_RH_BASE) + h) % F.lit(_RH_MOD),
+    )
+    return d.select("doc_id", rolling.alias("rolling_fp"))
+
+
 @query(
     "exact_dup_groups",
     oracle="""
