@@ -96,9 +96,11 @@ _PRIORITY = [
     # round-1 hash-fails fixed in round 2 — r02 rows prove the fix
     "events_monthly_metrics", "doc_quality_scores", "media_attrs_per_doc",
     "json_props_extract",
-    # dedup / similarity family (graded as first-class)
-    "minhash_lsh_dedup", "ngram_jaccard_pairs", "embedding_near_dup",
-    "exact_dup_groups", "knn_cosine_top10", "ann_ivf_top10",
+    # dedup / similarity family (graded as first-class) — simhash gained a
+    # hash oracle in round 3 (brute-force pairs over SQL-derived fingerprints;
+    # valid because banding has proven recall 1.0 at the radius)
+    "minhash_lsh_dedup", "simhash_near_dups", "ngram_jaccard_pairs",
+    "embedding_near_dup", "exact_dup_groups", "knn_cosine_top10", "ann_ivf_top10",
     # text-analysis / LLM-pipeline ops
     "top5_entities_per_doc", "top5_topics_per_doc", "keywords_tfidf",
     "clean_tokenize_docs", "doc_fingerprint", "lang_id_heuristic",
@@ -107,7 +109,7 @@ _PRIORITY = [
     # core relational operators
     "pricing_summary", "top_parts_per_supplier", "suppliers_per_nation",
     "nation_revenue_rank", "first_order_per_customer", "entity_position_backjoin",
-    "asof_last_click_before_error", "span_sequence_invariant",
+    "span_sequence_invariant",
     "semi_anti_customers",
 ]
 _TAIL = [
@@ -123,10 +125,9 @@ _TAIL = [
     # A4 centroid math is now also hash-evidenced by ann_ivf_top10's k-means
     # oracle; this twin was green in r01 and is unchanged
     "centroid_per_label",
-    # CHANGED this round (recall-contract fix: default radius 8 → 3, bands
-    # derived from the radius) — its r01 rows-only row is superseded; current
-    # evidence is the brute-force recall test (test_simhash_recall_vs_bruteforce)
-    "simhash_near_dups",
+    # moved to tail in round 3 to make room for simhash_near_dups' new
+    # hash-oracle row; unchanged since its green r02 row
+    "asof_last_click_before_error",
     # no-oracle rows-only entries and redundant twins of in-window queries;
     # all unchanged since their round-1 driver rows (spans_kind_counts'
     # interleave evidence is superseded in-window by kg_triples_text_preds,

@@ -1341,14 +1341,53 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=1e-9).where(F.col("jaccard") > 0)
 
 
-@query("simhash_near_dups")  # bit-level pandas UDF — no SQL twin; rows-only check
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash_near_dups. The banded LSH guarantees recall 1.0
+    at the radius (n_bands = max_hamming+1, pigeonhole) and candidates are
+    verified with exact popcount — so the RESULT SET equals brute-force
+    all-pairs hamming <= radius, and the oracle only has to reproduce the
+    FINGERPRINTS: per-token md5 split into two 32-bit halves, per-bit
+    occurrence-weighted majority vote (2·Σbit > total), bits packed with
+    integer literals. Empty-token docs fingerprint to 0 via the LEFT JOIN
+    (NULL CASE conditions fall through to ELSE 0), matching the UDF."""
+    lsum = ",\n           ".join(f"sum((lo >> {j}) & 1) AS l{j}" for j in range(32))
+    hsum = ",\n           ".join(f"sum((hi >> {j}) & 1) AS h{j}" for j in range(32))
+    lo_fp = " + ".join(f"(CASE WHEN 2 * l{j} > total THEN {1 << j} ELSE 0 END)" for j in range(32))
+    hi_fp = " + ".join(f"(CASE WHEN 2 * h{j} > total THEN {1 << j} ELSE 0 END)" for j in range(32))
+    return f"""
+    WITH {_DUP_CORPUS_SQL},
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    th AS (SELECT doc_id,
+                  ('0x' || substr(md5(tk), 9, 8))::BIGINT AS lo,
+                  ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hi
+           FROM tok WHERE tk <> ''),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total,
+           {lsum},
+           {hsum}
+           FROM th GROUP BY doc_id),
+    fp AS (SELECT c.doc_id, {lo_fp} AS fp_lo, {hi_fp} AS fp_hi
+           FROM corpus c LEFT JOIN agg ON c.doc_id = agg.doc_id)
+    SELECT src, dst, hamming FROM (
+      SELECT a.doc_id AS src, b.doc_id AS dst,
+             CAST(bit_count(xor(a.fp_lo, b.fp_lo))
+                  + bit_count(xor(a.fp_hi, b.fp_hi)) AS BIGINT) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+    WHERE hamming <= {max_hamming}
+    """
+
+
+@query("simhash_near_dups", oracle=_simhash_oracle_sql())
 def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64) LSH near-dup over the planted-dup corpus. Default radius
     hamming <= 3 with 4 bands — recall 1.0 at the radius by pigeonhole
-    (tests/test_dedup_similarity.py asserts it against brute force)."""
+    (tests/test_dedup_similarity.py asserts it against brute force), so the
+    banded result is hash-checkable against the oracle's brute-force pairs
+    over independently derived SQL fingerprints."""
     from .operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_dup_corpus(spark, sf_dir))
+    return simhash_near_dups(_dup_corpus(spark, sf_dir)).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
 
 
 @query(
