@@ -93,8 +93,11 @@ _PRIORITY = [
     # BPE-ish token counting)
     "repetition_3gram_filter", "pii_scrub_audit", "source_mix_sample",
     "bpe_token_counts", "rolling_hash_fingerprint",
+    # streaming aggregation's batch twin — gained a hash oracle in round 3
+    # (hop-aligned window assignment re-derived with epoch arithmetic)
+    "sliding_window_metrics",
     # round-1 hash-fails fixed in round 2 — r02 rows prove the fix
-    "events_monthly_metrics", "doc_quality_scores", "media_attrs_per_doc",
+    "doc_quality_scores", "media_attrs_per_doc",
     "json_props_extract",
     # dedup / similarity family (graded as first-class) — simhash gained a
     # hash oracle in round 3 (brute-force pairs over SQL-derived fingerprints;
@@ -132,7 +135,10 @@ _TAIL = [
     # all unchanged since their round-1 driver rows (spans_kind_counts'
     # interleave evidence is superseded in-window by kg_triples_text_preds,
     # which derives from the same spans)
-    "spans_kind_counts", "topic_model_lda", "sliding_window_metrics",
+    "spans_kind_counts", "topic_model_lda",
+    # events_monthly_metrics moved to tail in round 3 for
+    # sliding_window_metrics' new oracle row; unchanged since its green r02 row
+    "events_monthly_metrics",
     "doc_triples_sql", "media_ref_integrity", "max_order_key", "date_range_scan",
     "join_customer_region", "customer_balance_stats", "distinct_parts_per_supplier",
     "sessionize_users", "filter_project", "union_distinct_orders", "orders_rollup",

@@ -1129,17 +1129,37 @@ def topic_model_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sliding_window_metrics")  # F.window() has no portable SQL twin; rows-only
+@query(
+    "sliding_window_metrics",
+    oracle="""
+    WITH g AS (SELECT event_type, value,
+                      -- floor, not ::BIGINT (which ROUNDS): fractional-second
+                      -- events must bucket like Spark's microsecond floor
+                      CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS w0
+               FROM events),
+    w AS (SELECT event_type, value, unnest([w0, w0 - 1800]) AS ws FROM g)
+    SELECT CAST(ws AS BIGINT) AS win_start_s,
+           CAST(ws + 3600 AS BIGINT) AS win_end_s,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM w GROUP BY ws, event_type
+    """,
+)
 def sliding_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-compatible sliding-window metrics (the streaming aggregation
-    run in batch mode; streaming/incremental.py runs the same plan as a stream)."""
+    run in batch mode; streaming/incremental.py runs the same plan as a
+    stream). HASH-checked (round 3): Spark's F.window(1h, 30m) assigns each
+    event to exactly the two hop-aligned windows the oracle derives with
+    epoch arithmetic; window bounds compare as epoch seconds so both engines
+    agree regardless of timestamp-type timezone conventions."""
     from .streaming.incremental import windowed_event_metrics
 
     ev = load(spark, sf_dir, "events")
     out = windowed_event_metrics(ev)
     return out.select(
-        F.col("window.start").alias("win_start"),
-        F.col("window.end").alias("win_end"),
+        F.unix_timestamp(F.col("window.start")).alias("win_start_s"),
+        F.unix_timestamp(F.col("window.end")).alias("win_end_s"),
         "event_type",
         "n",
         "total_value",
