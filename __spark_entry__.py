@@ -84,8 +84,10 @@ _PRIORITY = [
     "kg_pipeline_triples", "kg_graph_nodes", "kg_graph_edges",
     "kg_topic_map", "kg_entity_map", "kg_partition_metrics",
     # HASH-CHECKED materialized-pipeline evidence (MENTIONS/HAS_TOPIC vs an
-    # independent DuckDB derivation from the raw interleaved spans)
-    "kg_triples_text_preds",
+    # independent DuckDB derivation from the raw interleaved spans), plus the
+    # SQL-derivable projections of the CC label tables (round 3: counts/keys
+    # hash-checked; only the labels themselves stay rows-only)
+    "kg_triples_text_preds", "kg_entity_map_counts", "kg_topic_map_keys",
     # round-2 additions
     "change_detection_fullouter", "quarantine_failed_rows", "lemma_token_counts",
     "decontaminate_vs_holdout",
@@ -106,11 +108,11 @@ _PRIORITY = [
     "embedding_near_dup", "exact_dup_groups", "knn_cosine_top10", "ann_ivf_top10",
     # text-analysis / LLM-pipeline ops
     "top5_entities_per_doc", "top5_topics_per_doc", "keywords_tfidf",
-    "clean_tokenize_docs", "doc_fingerprint", "lang_id_heuristic",
+    "clean_tokenize_docs", "lang_id_heuristic",
     # graph read path
     "graph_topics_list", "graph_docs_for_topic", "graph_subgraph_collect",
     # core relational operators
-    "pricing_summary", "top_parts_per_supplier", "suppliers_per_nation",
+    "pricing_summary", "top_parts_per_supplier",
     "nation_revenue_rank", "first_order_per_customer", "entity_position_backjoin",
     "span_sequence_invariant",
     "semi_anti_customers",
@@ -128,9 +130,10 @@ _TAIL = [
     # A4 centroid math is now also hash-evidenced by ann_ivf_top10's k-means
     # oracle; this twin was green in r01 and is unchanged
     "centroid_per_label",
-    # moved to tail in round 3 to make room for simhash_near_dups' new
-    # hash-oracle row; unchanged since its green r02 row
-    "asof_last_click_before_error",
+    # moved to tail in round 3 to make room for new hash-oracle rows; all
+    # unchanged since their green r02 rows (C5 md5 evidence also lives
+    # in-window via exact_dup_groups; A2/O5 via graph_subgraph_collect)
+    "asof_last_click_before_error", "doc_fingerprint", "suppliers_per_nation",
     # no-oracle rows-only entries and redundant twins of in-window queries;
     # all unchanged since their round-1 driver rows (spans_kind_counts'
     # interleave evidence is superseded in-window by kg_triples_text_preds,

@@ -1571,6 +1571,49 @@ def kg_triples_text_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kg_entity_map_counts",
+    oracle=f"""
+    SELECT e.text AS name, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (SELECT unnest(entities) AS e FROM read_parquet('{ORACLE_ENRICHED_GLOB}'))
+    WHERE trim(e.text) <> ''
+    GROUP BY e.text
+    """,
+)
+def kg_entity_map_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-grade evidence for the SQL-derivable part of the materialized
+    entity_map table (kg_triples_text_preds pattern): the (name, n_docs)
+    projection must equal the per-surface-form doc counts re-derived from the
+    enriched table — only the CC `canonical` label stays rows-only (iterative;
+    covered by test_entity_map_* invariants)."""
+    from .catalog import Catalog
+    from .plans.pipeline import run_pipeline
+
+    cat = run_pipeline(spark, sf_dir, out_root(sf_dir))
+    return cat.read(spark, "entity_map").select("name", "n_docs")
+
+
+@query(
+    "kg_topic_map_keys",
+    oracle=f"""
+    SELECT DISTINCT lower(trim(t.text)) AS phrase_norm
+    FROM (SELECT unnest(topics) AS t FROM read_parquet('{ORACLE_ENRICHED_GLOB}'))
+    WHERE lower(trim(t.text)) <> ''
+    """,
+)
+def kg_topic_map_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-grade evidence for the key set of the materialized topic_map: its
+    phrase vocabulary must equal the distinct normalized topic phrases of the
+    enriched table (the canonicalization may merge LABELS but never drops or
+    invents a phrase). The broad_topic labels themselves are iterative CC
+    output — rows-only + golden P/R."""
+    from .catalog import Catalog
+    from .plans.pipeline import run_pipeline
+
+    cat = run_pipeline(spark, sf_dir, out_root(sf_dir))
+    return cat.read(spark, "topic_map").select("phrase_norm")
+
+
 # ---------------------------------------------------------------------------
 # Hash-grade oracles for the full-pipeline graph outputs (queries registered in
 # __spark_entry__.py via _pipeline_query). Only the CC LABELS are iterative:
