@@ -130,3 +130,20 @@ def test_ivf_probe_scans_only_probed_partitions(spark, tmp_root):
     plan = _plan(hits)
     # the scan's file index must contain exactly the probed bucket dirs
     assert "bucket=" in plan
+
+
+def test_search_plans_have_no_global_window(spark):
+    """Regression armor for the search scale design: no strategy may compile
+    to a partition-less WindowExec (single-task sort of the corpus) — top-k
+    selection must stay TakeOrderedAndProject + broadcast join-back."""
+    from semantic_search_system_spark.plans import search as S
+    from semantic_search_system_spark.plans.pipeline import ensure_enriched
+
+    import semantic_search_system_spark.entrypoints as ep
+
+    enr = ensure_enriched(spark, SF_SMALL, ep.out_root(SF_SMALL))
+    for fn in (S.simple_search, S.advanced_search, S.pro_search,
+               S.pro_search_enhanced, S.search_kb):
+        plan = fn(enr)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, f"{fn.__name__} compiled a WindowExec"
+        assert "TakeOrderedAndProject" in plan, fn.__name__
