@@ -80,3 +80,32 @@ def test_embed_unit_norm(t):
     v = spec.embed_text(t)
     n = float(np.linalg.norm(v))
     assert n == 0.0 or abs(n - 1.0) < 1e-5
+
+
+@given(st.lists(st.text(alphabet="ab1 .É\t", max_size=24), min_size=0, max_size=16))
+@settings(max_examples=60, deadline=None)
+def test_simhash_kernel_matches_naive(batch):
+    """The vectorized per-byte-bincount SimHash must be bit-identical to the
+    naive per-token accumulation for arbitrary (incl. unicode/empty) input."""
+    import hashlib
+
+    import pandas as pd
+
+    from semantic_search_system_spark.operators.dedup import _simhash_batch
+
+    s = pd.Series(batch, dtype=object)
+    got = _simhash_batch(s).to_numpy()
+    toks = (
+        s.fillna("").str.lower().str.replace(r"[^a-z0-9\s]", "", regex=True).str.split()
+    )
+    for i, tl in enumerate(toks):
+        acc = np.zeros(64, dtype=np.int64)
+        for t in tl or []:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            acc += np.array([1 if (h >> j) & 1 else -1 for j in range(64)], dtype=np.int64)
+        fp = 0
+        for j in range(64):
+            if acc[j] > 0:
+                fp |= 1 << j
+        expect = fp - (1 << 64) if fp >= (1 << 63) else fp
+        assert got[i] == expect, (i, batch[i])
