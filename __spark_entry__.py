@@ -83,6 +83,9 @@ _PRIORITY = [
     # CC label tables and the manifest metrics stay rows-only
     "kg_pipeline_triples", "kg_graph_nodes", "kg_graph_edges",
     "kg_topic_map", "kg_entity_map", "kg_partition_metrics",
+    # manifest-vs-data INTEGRITY, hash-checked (round 3): per-partition
+    # rows_written re-counted from the committed parquet by DuckDB
+    "kg_manifest_rowcounts",
     # HASH-CHECKED materialized-pipeline evidence (MENTIONS/HAS_TOPIC vs an
     # independent DuckDB derivation from the raw interleaved spans), plus the
     # SQL-derivable projections of the CC label tables (round 3: counts/keys
@@ -112,7 +115,7 @@ _PRIORITY = [
     # graph read path
     "graph_topics_list", "graph_docs_for_topic", "graph_subgraph_collect",
     # core relational operators
-    "pricing_summary", "top_parts_per_supplier",
+    "pricing_summary",
     "nation_revenue_rank", "first_order_per_customer", "entity_position_backjoin",
     "span_sequence_invariant",
     "semi_anti_customers",
@@ -134,6 +137,9 @@ _TAIL = [
     # unchanged since their green r02 rows (C5 md5 evidence also lives
     # in-window via exact_dup_groups; A2/O5 via graph_subgraph_collect)
     "asof_last_click_before_error", "doc_fingerprint", "suppliers_per_nation",
+    # A1/W3 evidence also lives in-window via top5_entities_per_doc;
+    # unchanged since its green r02 row
+    "top_parts_per_supplier",
     # no-oracle rows-only entries and redundant twins of in-window queries;
     # all unchanged since their round-1 driver rows (spans_kind_counts'
     # interleave evidence is superseded in-window by kg_triples_text_preds,

@@ -1571,6 +1571,49 @@ def kg_triples_text_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MANIFEST_TABLES = ("enriched", "topic_map", "entity_map", "triples", "nodes", "edges")
+
+
+def _manifest_rowcounts_oracle() -> str:
+    """Per-partition manifest integrity twin: the rows_written each table's
+    manifest records per bucket must equal the actual row count of that
+    bucket's parquet — DuckDB re-counts the data files directly."""
+    parts = [
+        f"SELECT '{t}' AS tbl, CAST(bucket AS VARCHAR) AS partition_id, "
+        f"CAST(count(*) AS BIGINT) AS rows_written "
+        f"FROM read_parquet('{out_root(ORACLE_SF_DIR)}/{t}/bucket=*/*.parquet', "
+        f"hive_partitioning=true) GROUP BY bucket"
+        for t in _MANIFEST_TABLES
+    ]
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+@query("kg_manifest_rowcounts", oracle=_manifest_rowcounts_oracle())
+def kg_manifest_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 lineage INTEGRITY, hash-checked: the deterministic projection of
+    the Catalog's per-partition metrics — (table, partition_id, rows_written)
+    — against DuckDB re-counting the committed parquet partitions themselves.
+    A manifest that drifted from its data (the failure mode checkpoint-resume
+    must never allow) hash-mismatches here. The nondeterministic lineage
+    columns (snapshot_id, wall_ms) stay in the rows-only
+    kg_partition_metrics."""
+    import pandas as pd
+
+    from .catalog import Catalog
+    from .plans.pipeline import run_pipeline
+
+    cat = run_pipeline(spark, sf_dir, out_root(sf_dir))
+    rows = []
+    for t in _MANIFEST_TABLES:
+        for m in cat.metrics(t):
+            rows.append(
+                {"tbl": t, "partition_id": m["partition_id"], "rows_written": m["rows_written"]}
+            )
+    return spark.createDataFrame(pd.DataFrame(rows)).select(
+        "tbl", "partition_id", F.col("rows_written").cast("long").alias("rows_written")
+    )
+
+
 @query(
     "kg_entity_map_counts",
     oracle=f"""
