@@ -100,29 +100,97 @@ def _label_components(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def build_topic_map(spark: SparkSession, cat: Catalog, enriched: DataFrame) -> DataFrame:
+def topic_map_driver(phrase_list: list[str]) -> pd.DataFrame:
+    """Driver fast path for vocabulary-sized canonicalization — the EXACT
+    semantics of the distributed plan (same spec embedding, same
+    first-token-block + cosine-threshold edges as linking.candidate_edges,
+    the SAME union-find the distributed CC's own fast path uses with its
+    lexicographic-min component ids, the same _label_components kernel), as
+    one collect + numpy instead of ~8 vocabulary-sized Spark jobs.
+    Parity with the distributed path is pinned by
+    tests/test_pipeline.py::test_topic_map_driver_matches_distributed."""
+    from ..operators.components import _driver_union_find
+    from ..operators.embedding import embed_batch
+
+    phrases = sorted(set(phrase_list))
+    vecs = embed_batch(pd.Series(phrases, dtype=object))
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    blocks: dict[str, list[int]] = {}
+    for i, p in enumerate(phrases):
+        blocks.setdefault(p.split(" ")[0], []).append(i)
+    pairs: list[tuple[str, str]] = []
+    for idxs in blocks.values():
+        if len(idxs) < 2:
+            continue
+        S = V[idxs] @ V[idxs].T
+        ai, bi = np.triu_indices(len(idxs), 1)
+        hit = S[ai, bi] >= spec.PHRASE_SIM_THRESHOLD
+        for a, b in zip(ai[hit], bi[hit]):
+            pairs.append((phrases[idxs[a]], phrases[idxs[b]]))
+    mapping = _driver_union_find(pairs)
+    groups: dict[str, list[str]] = {}
+    for p in phrases:
+        groups.setdefault(mapping.get(p, p), []).append(p)
+    vec_of = dict(zip(phrases, vecs))
+    out = [
+        _label_components(
+            pd.DataFrame({"phrase_norm": g, "vec": [vec_of[p] for p in g]})
+        )
+        for g in groups.values()
+    ]
+    return pd.concat(out, ignore_index=True)
+
+
+DRIVER_VOCAB_LIMIT = 100_000
+
+
+def build_topic_map(
+    spark: SparkSession, cat: Catalog, enriched: DataFrame,
+    driver_vocab_limit: int = DRIVER_VOCAB_LIMIT,
+) -> DataFrame:
     """Canonicalize topic phrases: embed → blocked similarity join → connected
-    components → centroid labels. The topic_mapping.json analog."""
+    components → centroid labels. The topic_mapping.json analog.
+
+    The phrase vocabulary grows sub-linearly with the corpus (it is a function
+    of the language), so the whole stage runs on the DRIVER when the distinct
+    phrase count is under ``driver_vocab_limit`` (one distinct-collect + one
+    commit); the distributed plan below remains the fallback for
+    beyond-vocabulary scales."""
     if not cat.exists("topic_map"):
-        phrases = (
+        from ..session import local_df
+
+        distinct_phrases = (
             enriched.select(F.explode("topics").alias("t"))
             .select(F.lower(F.trim(F.col("t.text"))).alias("phrase_norm"))
             .where(F.col("phrase_norm") != "")
             .distinct()
-            .withColumn("embedding", embed_udf(F.col("phrase_norm")))
         )
-        # phrase vocabulary is tiny relative to the corpus (sub-linear growth) —
-        # cache across the edges + labeling + join uses
-        phrases = phrases.localCheckpoint(eager=True)
-        edges = candidate_edges(phrases, "phrase_norm", "embedding")
-        comps = connected_components(edges)  # (node, component) — only non-isolated
-        labeled = (
-            phrases.join(comps, phrases["phrase_norm"] == comps["node"], "left")
-            .withColumn("component", F.coalesce(F.col("component"), F.col("phrase_norm")))
-            .select("phrase_norm", "component", F.col("embedding").alias("vec"))
-            .groupBy("component")
-            .applyInPandas(_label_components, schema="phrase_norm string, broad_topic string")
-        )
+        head = distinct_phrases.limit(driver_vocab_limit + 1).collect()
+        if len(head) <= driver_vocab_limit:
+            pdf = topic_map_driver([r["phrase_norm"] for r in head])
+            labeled = local_df(
+                spark, list(pdf.itertuples(index=False, name=None)),
+                "phrase_norm string, broad_topic string",
+            )
+        else:
+            phrases = distinct_phrases.withColumn(
+                "embedding", embed_udf(F.col("phrase_norm"))
+            )
+            # cache across the edges + labeling + join uses
+            phrases = phrases.localCheckpoint(eager=True)
+            edges = candidate_edges(phrases, "phrase_norm", "embedding")
+            comps = connected_components(edges)  # (node, component) — only non-isolated
+            labeled = (
+                phrases.join(comps, phrases["phrase_norm"] == comps["node"], "left")
+                .withColumn(
+                    "component", F.coalesce(F.col("component"), F.col("phrase_norm"))
+                )
+                .select("phrase_norm", "component", F.col("embedding").alias("vec"))
+                .groupBy("component")
+                .applyInPandas(
+                    _label_components, schema="phrase_norm string, broad_topic string"
+                )
+            )
         cat.commit_partitions(
             with_bucket(labeled, "phrase_norm", 1), "topic_map", stage="canonicalize"
         )

@@ -193,3 +193,29 @@ def test_entity_map_on_corpus(built):
     names = {r["name"] for r in rows}
     assert all(r["canonical"] in names for r in rows)
     assert all(r["n_docs"] > 0 for r in rows)
+
+
+def test_topic_map_driver_matches_distributed(spark, tmp_root):
+    """The driver fast path must produce the EXACT (phrase_norm, broad_topic)
+    table the distributed embed→blocked-join→CC→label plan produces."""
+    import os
+
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.plans.pipeline import (
+        build_enriched,
+        build_topic_map,
+    )
+
+    cat = Catalog(os.path.join(tmp_root, "a"))
+    enriched = build_enriched(spark, SF_SMALL, cat)
+    fast = {
+        (r["phrase_norm"], r["broad_topic"])
+        for r in build_topic_map(spark, cat, enriched).collect()
+    }
+    cat2 = Catalog(os.path.join(tmp_root, "b"))
+    enriched2 = build_enriched(spark, SF_SMALL, cat2)
+    slow = {
+        (r["phrase_norm"], r["broad_topic"])
+        for r in build_topic_map(spark, cat2, enriched2, driver_vocab_limit=0).collect()
+    }
+    assert fast == slow and len(fast) > 100
