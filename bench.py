@@ -354,13 +354,15 @@ Round-over-round movement (same corpus, local[4] best / local[1] best,
 raw and ceiling-normalized efficiency as measured that round):
 - round 2: 98.3k / 45.4k triples/sec, raw 0.541, normalized 1.06 (ceiling 2.04×)
 - round 3, token-stream kernel: 103.7k / 62.2k, raw 0.417, normalized 0.73 (ceiling 2.28×)
-- round 3 final (+ Arrow-RE2 clean in the fused UDF): 114.9k / 52.0k,
+- round 3, + Arrow-RE2 clean in the fused UDF: 114.9k / 52.0k,
   raw 0.552, normalized 0.78 (ceiling 2.83×)
-Absolute local[4] throughput rose every round (98.3k → 114.9k). The
-per-round ratios swing with the box: the ceiling probe itself varies
-2.0-2.8× between sessions, and single-host ratios carry ±0.15 of VM noise —
-the plan-shape properties below, not this shared bus, are the cluster-scaling
-evidence.
+- round 3 final (+ driver-side vocabulary canonicalization): 151.1k / 62.9k,
+  raw 0.600, normalized 1.23 (ceiling 1.96×)
+Absolute local[4] throughput rose every round (98.3k → 151.1k) and the final
+raw efficiency (0.600) is the best of any round. The per-round ratios swing
+with the box: the ceiling probe itself varies 2.0-2.8× between sessions, and
+single-host ratios carry ±0.15 of VM noise — the plan-shape properties
+below, not this shared bus, are the cluster-scaling evidence.
 
 All runs:
 ```json
