@@ -47,7 +47,7 @@ ORACLE_ENRICHED_GLOB = f"{out_root(ORACLE_SF_DIR)}/enriched/bucket=*/*.parquet"
 
 _STOP_SQL = ", ".join(f"''{s}''" for s in sorted(spec.STOPWORDS)).replace("''", "'")
 # the clean_text expression (C1/C2) as DuckDB SQL — shared by every text oracle
-_CLEAN_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+_CLEAN_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, QueryFn] = {}
@@ -437,8 +437,8 @@ def centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     "clean_tokenize_docs",
     oracle="""
     SELECT doc_id,
-           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS content,
-           len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS n_tokens
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS content,
+           len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')) AS n_tokens
     FROM documents
     """,
 )
@@ -457,7 +457,12 @@ def clean_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are identical in Java regex (Spark) and RE2 (DuckDB): leftmost-first
 # alternation, no lookahead (RE2 has none). "BPE-ish" per the round brief —
 # contractions, letter runs, digit runs, punctuation runs, whitespace runs.
-_BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# Explicit whitespace class, not \s: Java's \s includes \x0b, RE2's doesn't
+# (see spec.CLEAN_STRIP_RE) — shorthand would diverge Spark from the oracle.
+_BPE_REGEX = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+"
+)
 
 
 @query(
@@ -492,7 +497,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY doc_id ORDER BY freq DESC, token ASC) AS rn
       FROM (
         SELECT doc_id, token, count(*) AS freq FROM (
-          SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS token
+          SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')) AS token
           FROM documents)
         WHERE token <> '' AND token NOT IN ({_STOP_SQL})
         GROUP BY doc_id, token)
@@ -516,7 +521,7 @@ def top5_entities_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, bigram, count(*) AS freq FROM (
           SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
           FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
-                FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
+                FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS toks
                       FROM documents))
           WHERE toks[i] NOT IN ({_STOP_SQL}) AND toks[i+1] NOT IN ({_STOP_SQL})
                 AND toks[i] <> '' AND toks[i+1] <> '')
@@ -537,7 +542,7 @@ def top5_topics_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, token,
              row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, token ASC) AS rn
       FROM (
-        SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS token
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')) AS token
         FROM documents)
       WHERE token <> '' AND token NOT IN ({_STOP_SQL})
       GROUP BY doc_id, token

@@ -22,8 +22,8 @@ from .. import spec
 def clean_text_col(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     c = F.lower(c)
-    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, spec.CLEAN_STRIP_RE, "")
+    c = F.regexp_replace(c, spec.CLEAN_WS_RE, " ")
     return F.trim(c)
 
 

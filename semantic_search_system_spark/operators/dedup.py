@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import spec
 from ..functions.text import clean_text_col
 
 # Universal-hash family for MinHash: sig[i] = min_s ((A_i*h(s) + B_i) mod P),
@@ -221,7 +222,7 @@ def _simhash_batch(texts: pd.Series, bits: int = 64) -> pd.Series:
     toks = (
         texts.fillna("")
         .str.lower()
-        .str.replace(r"[^a-z0-9\s]", "", regex=True)
+        .str.replace(spec.CLEAN_STRIP_RE, "", regex=True)
         .str.split()
         .tolist()
     )

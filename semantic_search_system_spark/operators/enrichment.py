@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import spec
 from .embedding import embed_batch
 from .extraction import _extract_batch, build_token_stream
 
@@ -43,11 +44,17 @@ ENRICH_RESULT = T.StructType(
 def clean_batch(contents: pd.Series) -> pd.Series:
     """The spec cleaner (lower → strip non-alnum → collapse ws → trim) as
     vectorized Arrow kernels — RE2, one pass per op, no Python per row."""
-    arr = pa.Array.from_pandas(contents.fillna("").astype(str))
+    # type pinned: an empty object Series would otherwise infer a null-typed
+    # array, which the utf8_* kernels reject
+    arr = pa.Array.from_pandas(contents.fillna("").astype(str), type=pa.string())
     arr = pc.utf8_lower(arr)
-    arr = pc.replace_substring_regex(arr, pattern=r"[^a-z0-9\s]", replacement="")
-    arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
-    arr = pc.utf8_trim_whitespace(arr)
+    # Explicit whitespace classes (spec.CLEAN_*_RE), NOT \s: RE2's \s lacks
+    # \x0b while Java's has it — the shorthand silently diverged the Arrow
+    # hot path from the JVM operators (round-3 ADVICE #1). After the collapse
+    # only plain spaces remain, so trim spaces only — exactly JVM F.trim.
+    arr = pc.replace_substring_regex(arr, pattern=spec.CLEAN_STRIP_RE, replacement="")
+    arr = pc.replace_substring_regex(arr, pattern=spec.CLEAN_WS_RE, replacement=" ")
+    arr = pc.utf8_trim(arr, characters=" ")
     return arr.to_pandas()
 
 

@@ -147,7 +147,7 @@ def tokenize_batch(contents: pd.Series) -> pd.Series:
     toks = (
         contents.fillna("")
         .str.lower()
-        .str.replace(r"[^a-z0-9\s]", "", regex=True)
+        .str.replace(spec.CLEAN_STRIP_RE, "", regex=True)
         .str.split()
     )
     return toks.reset_index(drop=True)

@@ -87,7 +87,10 @@ def local_df(spark: SparkSession, data, schema: str):
     LocalRelation (~0.2 s) and stays JVM-side from there. ``schema`` is the
     DDL string; column order must match the tuple order."""
     import pandas as pd
+    from pyspark.sql.types import StructType
 
-    names = [f.split()[0] for f in schema.split(",")]
+    # real DDL parse, not schema.split(',') — a comma inside a parameterized
+    # type (decimal(10,2), map<string,int>) would silently misname columns
+    names = [f.name for f in StructType.fromDDL(schema).fields]
     pdf = pd.DataFrame(list(data), columns=names)
     return spark.createDataFrame(pdf, schema)

@@ -58,13 +58,27 @@ def media_ref(doc_id: str, offset: int) -> str:
     return "media://" + hashlib.md5(f"{doc_id}:{offset}".encode()).hexdigest()
 
 
+# ---------------------------------------------------------------- canonical whitespace
+# The spec's whitespace is Java's ``\s`` — [ \t\n\x0b\f\r] — written as an
+# EXPLICIT class because the four regex engines in play disagree on the
+# shorthand: Java \s includes \x0b, RE2 (Arrow / DuckDB) excludes it, and
+# Python re \s additionally matches unicode whitespace. One literal class,
+# interpreted identically by all four, keeps the fused Arrow hot path
+# output-identical to the standalone JVM operators and the DuckDB oracle
+# (round-3 ADVICE #1). \t \n \x0b \f \r escapes parse the same everywhere.
+CLEAN_STRIP_RE = r"[^a-z0-9 \t\n\x0b\f\r]"  # chars to delete after lower()
+CLEAN_WS_RE = r"[ \t\n\x0b\f\r]+"           # runs to collapse to one space
+
+
 def clean_tokens(text: str) -> list[str]:
     """Noise removal + lowercase + whitespace split (clean_text, pr_meta_store.py:26-29).
 
-    Exactly ``regexp_replace(lower(x), '[^a-z0-9\\s]', '')`` then split — byte-for-byte
-    the Spark/DuckDB expression, so every engine tokenizes identically.
+    Exactly ``regexp_replace(lower(x), CLEAN_STRIP_RE, '')`` then split —
+    byte-for-byte the Spark/DuckDB expression, so every engine tokenizes
+    identically. str.split() with no argument splits on every CLEAN_WS_RE
+    char (the strip stage already removed all other separators).
     """
-    return _re.sub(r"[^a-z0-9\s]", "", text.lower()).split()
+    return _re.sub(CLEAN_STRIP_RE, "", text.lower()).split()
 
 
 def top_k_by_freq(items: list[str], k: int) -> list[tuple[str, int]]:

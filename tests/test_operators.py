@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from semantic_search_system_spark import spec
 from semantic_search_system_spark.functions.scoring import minmax_normalize_100
+from semantic_search_system_spark.functions.text import clean_text_col
 from semantic_search_system_spark.operators.components import connected_components
 from semantic_search_system_spark.operators.embedding import embed_batch
 from semantic_search_system_spark.operators.extraction import (
@@ -192,3 +193,33 @@ def test_fused_enrich_equals_unfused(spark):
     assert fused.keys() == unfused.keys() and len(fused) > 100
     for k in fused:
         assert fused[k] == unfused[k], k
+
+
+def test_jvm_clean_matches_arrow_clean_adversarial(spark):
+    """clean_text_col (JVM regex) and clean_batch (Arrow RE2) must agree on
+    whitespace edge cases — notably VT (0x0b), which Java's ``\\s`` contains
+    and RE2's does not (round-3 ADVICE #1: 'foo<VT>bar baz qux' diverged before the
+    explicit spec.CLEAN_*_RE classes)."""
+    import pandas as pd
+
+    from semantic_search_system_spark.operators.enrichment import clean_batch
+    from semantic_search_system_spark.session import local_df
+
+    cases = [
+        "foo\x0bbar baz qux",
+        " \x0b leading and trailing \x0b ",
+        "tab\tmix\x0b\f\r\nof all five",
+        "nbsp\xa0joined and line-sep",
+        "CAPS and Punct!? 123",
+        "\x0b",
+        "",
+        "already clean text",
+    ]
+    df = local_df(spark, list(enumerate(cases)), "i int, text string")
+    got_jvm = {
+        r["i"]: r["c"]
+        for r in df.select("i", clean_text_col("text").alias("c")).collect()
+    }
+    got_arrow = clean_batch(pd.Series(cases)).tolist()
+    for i, s in enumerate(cases):
+        assert got_jvm[i] == got_arrow[i], (i, repr(s), got_jvm[i], got_arrow[i])

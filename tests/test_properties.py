@@ -96,7 +96,10 @@ def test_simhash_kernel_matches_naive(batch):
     s = pd.Series(batch, dtype=object)
     got = _simhash_batch(s).to_numpy()
     toks = (
-        s.fillna("").str.lower().str.replace(r"[^a-z0-9\s]", "", regex=True).str.split()
+        s.fillna("")
+        .str.lower()
+        .str.replace(spec.CLEAN_STRIP_RE, "", regex=True)
+        .str.split()
     )
     for i, tl in enumerate(toks):
         acc = np.zeros(64, dtype=np.int64)
@@ -109,3 +112,46 @@ def test_simhash_kernel_matches_naive(batch):
                 fp |= 1 << j
         expect = fp - (1 << 64) if fp >= (1 << 63) else fp
         assert got[i] == expect, (i, batch[i])
+
+
+# Adversarial alphabet for the cleaner-parity property: \x0b is in Java's \s
+# but not RE2's; \xa0 /   are unicode whitespace (Python \s) but neither
+# Java's nor RE2's; \x1f is a control char in no engine's \s. The explicit
+# spec.CLEAN_*_RE classes must make every engine agree on all of them.
+_clean_texts = st.text(
+    alphabet="ab1 .É\t\n\x0b\f\r\xa0 \x1f", max_size=60
+)
+
+
+def _clean_reference(s: str) -> str:
+    """Java-semantics reference cleaner: lower → strip CLEAN_STRIP_RE →
+    collapse CLEAN_WS_RE → trim spaces, with Python re on explicit classes."""
+    import re
+
+    s = re.sub(spec.CLEAN_STRIP_RE, "", s.lower())
+    s = re.sub(spec.CLEAN_WS_RE, " ", s)
+    return s.strip(" ")
+
+
+@given(st.lists(_clean_texts, min_size=0, max_size=12))
+@settings(max_examples=120, deadline=None)
+def test_arrow_clean_matches_reference(batch):
+    """clean_batch (Arrow RE2 hot path) must equal the Java-semantics
+    reference cleaner on arbitrary input incl. \\x0b / unicode whitespace /
+    control chars (round-3 ADVICE #1: RE2 \\s excludes \\x0b, so shorthand
+    classes silently diverged the fused path from the JVM operators)."""
+    from semantic_search_system_spark.operators.enrichment import clean_batch
+
+    got = clean_batch(pd.Series(batch, dtype=object)).tolist()
+    assert got == [_clean_reference(s) for s in batch]
+
+
+@given(_clean_texts)
+@settings(max_examples=120, deadline=None)
+def test_spec_tokens_match_reference_clean(s):
+    """spec.clean_tokens (golden-fixture tokenizer) must tokenize exactly the
+    reference-cleaned string: unicode whitespace is STRIPPED (Java semantics),
+    never treated as a separator (Python \\s semantics)."""
+    assert spec.clean_tokens(s) == _clean_reference(s).split(" ") or (
+        _clean_reference(s) == "" and spec.clean_tokens(s) == []
+    )
