@@ -83,9 +83,13 @@ def golden_canonicalize(phrases: list[str]) -> dict[str, str]:
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
                 a, b = members[i], members[j]
-                # float64 dot — matches Spark's double-typed aggregate, keeping the
-                # threshold comparison engine-independent
-                sim = float(np.dot(vecs[a].astype(np.float64), vecs[b].astype(np.float64)))
+                # float64 dot, rounded to SIM_NDIGITS before thresholding
+                # (spec.round_half_away contract — engine-independent boundary)
+                sim = float(
+                    spec.round_half_away(
+                        np.dot(vecs[a].astype(np.float64), vecs[b].astype(np.float64))
+                    )
+                )
                 if sim >= spec.PHRASE_SIM_THRESHOLD:
                     uf.union(a, b)
     comps: dict[str, list[str]] = {}

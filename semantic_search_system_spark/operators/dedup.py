@@ -200,11 +200,16 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------------ SimHash
 _token_hash_cache: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 1_000_000  # ~80 MB ceiling; executor Python workers
+# are long-lived, so an unbounded memo grows forever across batches — reset
+# wholesale when full (md5 is cheap relative to the numpy passes)
 
 
 def _token_hash(t: str) -> int:
     h = _token_hash_cache.get(t)
     if h is None:
+        if len(_token_hash_cache) >= _TOKEN_HASH_CACHE_MAX:
+            _token_hash_cache.clear()
         h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
         _token_hash_cache[t] = h
     return h

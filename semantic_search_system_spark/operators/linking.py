@@ -77,8 +77,10 @@ def candidate_edges(
     )
 
     pairs = left.join(right, ["block", "salt"]).where(F.col("src") < F.col("dst"))
+    # F.round before the threshold = spec.round_half_away contract: the JVM
+    # fold's summation order must not flip boundary pairs vs the driver matmul
     return (
-        pairs.withColumn("sim", dot("lvec", "rvec"))
+        pairs.withColumn("sim", F.round(dot("lvec", "rvec"), spec.SIM_NDIGITS))
         .where(F.col("sim") >= F.lit(float(threshold)))
         .select("src", "dst", "sim")
     )
@@ -92,10 +94,28 @@ def fuzzy_candidate_edges(
     n_salt: int = 8,
     hot_block_limit: int = 4096,
 ) -> DataFrame:
-    """Entity-linking edges by string similarity: block on the name prefix,
-    link when levenshtein <= max_edit_distance ('sparks'→'spark' style
-    variants). Same salted-hot-block pattern as candidate_edges — entity name
-    distributions are power-law, so a hot prefix bucket must not pin one task.
+    """Entity-linking edges by string similarity: multi-probe block on the
+    DELETE-1 NEIGHBORHOOD (the name itself plus every string obtained by
+    deleting one character — SymSpell-style), link when
+    levenshtein <= max_edit_distance.
+
+    Recall contract: EXACT for max_edit_distance == 1 — any two strings at
+    edit distance <= 1 share at least one delete-1 key (a substitution at
+    position i gives both the same string when i is deleted; an
+    insert/delete pair shares the shorter string itself), so no candidate is
+    ever missed, wherever in the string the edit falls. Round-3 VERDICT
+    'What's wrong' #2: the previous first-``prefix_len``-chars blocking
+    silently dropped pairs whose edit fell inside the prefix ('park' vs
+    'spark'). For max_edit_distance >= 2 the neighborhood only guarantees
+    candidates that agree after one deletion per side — pass a
+    ``prefix_len``-style coarser scheme or a delete-2 neighborhood if a wider
+    exact contract is ever needed (the pipeline links at distance 1).
+
+    Keys per name = length+1 — bounded by entity-name length, far more
+    selective than a 3-char prefix, so blocks shrink while recall rises. Hot
+    keys (power-law surface forms) still get the salted-explode treatment so
+    no single task pins a hot block. Pairs found under several shared keys
+    are deduplicated BEFORE the levenshtein verify.
 
     Used for single-token entity canonicalization where hashed embeddings are
     orthogonal by construction and cosine carries no signal (SURVEY §2.3 J7
@@ -105,7 +125,18 @@ def fuzzy_candidate_edges(
         names.select(normalize_key_col(name_col).alias("name_norm"))
         .where(F.col("name_norm") != "")
         .dropDuplicates(["name_norm"])
-        .withColumn("block", F.substring("name_norm", 1, prefix_len))
+        .withColumn(
+            "block",
+            F.explode(
+                F.array_union(
+                    F.expr(
+                        "transform(sequence(1, length(name_norm)), i ->"
+                        " concat(substring(name_norm, 1, i-1), substring(name_norm, i+1)))"
+                    ),
+                    F.array(F.col("name_norm")),
+                )
+            ),
+        )
     )
     sizes = items.groupBy("block").agg(F.count("*").alias("block_n"))
     items = items.join(F.broadcast(sizes), "block")
@@ -120,7 +151,12 @@ def fuzzy_candidate_edges(
             F.when(hot, F.sequence(F.lit(0), F.lit(n_salt - 1))).otherwise(F.array(F.lit(0)))
         ),
     ).select("block", F.col("salt").cast("long").alias("salt"), F.col("name_norm").alias("dst"))
-    pairs = left.join(right, ["block", "salt"]).where(F.col("src") < F.col("dst"))
+    pairs = (
+        left.join(right, ["block", "salt"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])  # multi-key hits verified once
+    )
     return (
         pairs.withColumn("dist", F.levenshtein("src", "dst"))
         .where(F.col("dist") <= max_edit_distance)

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_sim
+from ..spec import round_half_away as _round_half_away
 
 
 def _nearest_centroid_udf(cent_rows: list[tuple[int, list[float]]]):
@@ -52,15 +53,6 @@ def _nearest_centroid_udf(cent_rows: list[tuple[int, list[float]]]):
         return pd.Series(cids[np.argmax(sims, axis=1)])
 
     return assign
-
-
-def _round_half_away(x: np.ndarray, ndigits: int) -> np.ndarray:
-    """Round half AWAY from zero, matching Spark F.round and DuckDB round()
-    exactly — np.round is half-to-even, which can diverge from the SQL oracles
-    on exact .5 boundaries (measure-zero with float64, but the assignment
-    contract is bit-for-bit)."""
-    scale = 10.0**ndigits
-    return np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
 
 
 def brute_force_topk(
@@ -158,9 +150,18 @@ def kmeans_centroids(
     d = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
     if fit_sample_hex is not None:
         d = d.where(fit_sample_pred(id_col, fit_sample_hex))
-    head = d.limit(max_driver_fit + 1).collect()
-    if len(head) <= max_driver_fit:
-        return _kmeans_driver(head, n_centroids, n_iter, id_col)
+    # size probe ships ONE long, not vectors: deciding the driver-vs-
+    # distributed path by collecting limit(max_driver_fit+1) full rows would
+    # pull up to ~100 MB of doubles onto the driver only to discard them
+    # whenever the fit set is oversized and the distributed loop runs
+    n_fit = d.limit(max_driver_fit + 1).count()
+    if n_fit == 0:
+        raise ValueError(
+            "empty k-means fit set — no vectors matched "
+            f"fit_sample_hex={fit_sample_hex!r} (or the vectors table is empty)"
+        )
+    if n_fit <= max_driver_fit:
+        return _kmeans_driver(d.collect(), n_centroids, n_iter, id_col)
     d = d.localCheckpoint(eager=True)  # consumed once per iteration + seeding
     cent_rows = [
         (int(r[id_col]), list(r["_v"]))

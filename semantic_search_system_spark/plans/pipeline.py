@@ -124,7 +124,9 @@ def topic_map_driver(phrase_list: list[str]) -> pd.DataFrame:
             continue
         S = V[idxs] @ V[idxs].T
         ai, bi = np.triu_indices(len(idxs), 1)
-        hit = S[ai, bi] >= spec.PHRASE_SIM_THRESHOLD
+        # round BEFORE thresholding (spec.round_half_away contract): pairwise
+        # matmul summation vs the distributed fold must agree at the boundary
+        hit = spec.round_half_away(S[ai, bi]) >= spec.PHRASE_SIM_THRESHOLD
         for a, b in zip(ai[hit], bi[hit]):
             pairs.append((phrases[idxs[a]], phrases[idxs[b]]))
     mapping = _driver_union_find(pairs)

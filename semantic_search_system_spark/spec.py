@@ -51,6 +51,19 @@ PRED_RELATES = "RELATES_TO_DOC"
 EMBED_DIM = 256             # utils/bedrock.py:41 — Titan 256-d, L2-normalized
 # ---------------------------------------------------------------- canonicalization
 PHRASE_SIM_THRESHOLD = 0.60  # cosine cut for phrase-cluster edges (topic_modeling.py:31-36)
+SIM_NDIGITS = 6              # every engine rounds cosines to 6dp BEFORE thresholding
+
+
+def round_half_away(x, ndigits: int = SIM_NDIGITS):
+    """Round half AWAY from zero, matching Spark F.round and DuckDB round()
+    exactly — np.round is half-to-even, which can diverge from the SQL oracles
+    on exact .5 boundaries. The spec's edge predicate is
+    ``round_half_away(cosine, 6) >= PHRASE_SIM_THRESHOLD`` in EVERY engine:
+    unrounded comparisons let different float summation orders (numpy pairwise
+    matmul vs a sequential SQL/aggregate fold) flip pairs sitting exactly at
+    the threshold (round-3 ADVICE #2)."""
+    scale = 10.0**ndigits
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
 
 
 def media_ref(doc_id: str, offset: int) -> str:

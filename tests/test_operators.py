@@ -112,7 +112,10 @@ def test_candidate_edges_vs_bruteforce(spark):
     for a in vecs:
         for b in vecs:
             if a < b and a.split()[0] == b.split()[0]:
-                if float(np.dot(vecs[a].astype(np.float64), vecs[b].astype(np.float64))) >= 0.5:
+                sim = spec.round_half_away(
+                    np.dot(vecs[a].astype(np.float64), vecs[b].astype(np.float64))
+                )
+                if float(sim) >= 0.5:
                     want.add((a, b))
     assert got == want
 
@@ -223,3 +226,37 @@ def test_jvm_clean_matches_arrow_clean_adversarial(spark):
     got_arrow = clean_batch(pd.Series(cases)).tolist()
     for i, s in enumerate(cases):
         assert got_jvm[i] == got_arrow[i], (i, repr(s), got_jvm[i], got_arrow[i])
+
+
+def test_fuzzy_edges_exact_recall_distance1(spark):
+    """Delete-1 neighborhood blocking must find EVERY distance-<=1 pair,
+    including edits inside the first characters that the old prefix blocking
+    missed (round-3 VERDICT #2: 'park'/'spark', 'smark'/'spark')."""
+    from semantic_search_system_spark.operators.linking import fuzzy_candidate_edges
+    from semantic_search_system_spark.session import local_df
+
+    names = [
+        "spark", "park", "smark", "spork", "sparks", "qpark",
+        "flink", "blink", "link", "zebra", "zebr", "aebra",
+        "a", "b", "ab",
+    ]
+    df = local_df(spark, [(n,) for n in names], "name string")
+    got = {(r["src"], r["dst"]) for r in fuzzy_candidate_edges(df, "name").collect()}
+
+    def lev(a, b):
+        import numpy as np
+
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return int(d[len(b)])
+
+    want = {
+        (a, b)
+        for a in names
+        for b in names
+        if a < b and lev(a, b) <= 1
+    }
+    assert got == want and ("park", "spark") in got and ("smark", "spark") in got
