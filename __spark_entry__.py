@@ -91,9 +91,21 @@ _PRIORITY = [
     # SQL-derivable projections of the CC label tables (round 3: counts/keys
     # hash-checked; only the labels themselves stay rows-only)
     "kg_triples_text_preds", "kg_entity_map_counts", "kg_topic_map_keys",
+    # ANN-assisted hybrid search (round 4, VERDICT r03 'What's missing' #1):
+    # semantic branch served by the materialized doc-IVF index, oracle
+    # replays the identical index build + probe
+    "search_pro_ann",
+    # round-4 window rotations: token_budget_pack was REWRITTEN in round 3
+    # (two-pass prefix-sum) with only pytest-parity evidence, and
+    # hash_sample_stratified never had a driver row (VERDICT r03 'What's
+    # missing' #2) — both have full hash oracles
+    "token_budget_pack", "hash_sample_stratified",
+    # freshness rotation (VERDICT r03 #2): these last saw a driver row in
+    # round 1; rotated in so shared helpers (load, text cleaning) get
+    # re-evidenced on current code
+    "max_order_key", "date_range_scan", "join_customer_region",
     # round-2 additions
-    "change_detection_fullouter", "quarantine_failed_rows", "lemma_token_counts",
-    "decontaminate_vs_holdout",
+    "quarantine_failed_rows", "lemma_token_counts",
     # round-3 training-data additions (quality filter / PII / domain mixing /
     # BPE-ish token counting)
     "repetition_3gram_filter", "pii_scrub_audit", "source_mix_sample",
@@ -101,9 +113,6 @@ _PRIORITY = [
     # streaming aggregation's batch twin — gained a hash oracle in round 3
     # (hop-aligned window assignment re-derived with epoch arithmetic)
     "sliding_window_metrics",
-    # round-1 hash-fails fixed in round 2 — r02 rows prove the fix
-    "doc_quality_scores", "media_attrs_per_doc",
-    "json_props_extract",
     # dedup / similarity family (graded as first-class) — simhash gained a
     # hash oracle in round 3 (brute-force pairs over SQL-derived fingerprints;
     # valid because banding has proven recall 1.0 at the radius)
@@ -118,9 +127,12 @@ _PRIORITY = [
     "pricing_summary",
     "nation_revenue_rank", "first_order_per_customer", "entity_position_backjoin",
     "span_sequence_invariant",
-    "semi_anti_customers",
 ]
 _TAIL = [
+    # rotated to tail in round 4 to fund the window rotations above; every
+    # one is multi-round hash-green (r02+r03) and byte-unchanged this round
+    "doc_quality_scores", "media_attrs_per_doc", "json_props_extract",
+    "change_detection_fullouter", "decontaminate_vs_holdout", "semi_anti_customers",
     # moved to tail (round 3) to keep the 50-query window when
     # search_pro_params and the four training-data queries entered; all
     # unchanged since their green r02 rows (minmax's W1/C13 evidence also
@@ -148,12 +160,9 @@ _TAIL = [
     # events_monthly_metrics moved to tail in round 3 for
     # sliding_window_metrics' new oracle row; unchanged since its green r02 row
     "events_monthly_metrics",
-    "doc_triples_sql", "media_ref_integrity", "max_order_key", "date_range_scan",
-    "join_customer_region", "customer_balance_stats", "distinct_parts_per_supplier",
+    "doc_triples_sql", "media_ref_integrity",
+    "customer_balance_stats", "distinct_parts_per_supplier",
     "sessionize_users", "filter_project", "union_distinct_orders", "orders_rollup",
-    # round-2 training-data extras: oracle-checked via pytest test_oracle_parity
-    # (registered at tail to keep the driver's 50-query window composition)
-    "hash_sample_stratified", "token_budget_pack",
 ]
 
 

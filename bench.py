@@ -182,6 +182,7 @@ HEADLINE_QUERIES = [
     "ann_ivf_top10",
     "minhash_lsh_dedup",
     "search_pro",
+    "search_pro_ann",
     "search_pro_enhanced",
     "spans_kind_counts",
 ]

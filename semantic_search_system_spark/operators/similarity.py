@@ -207,6 +207,8 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_sample_hex: str | None = None,
+    cent_table: str = "ivf_centroids",
+    assign_table: str = "ivf_assign",
 ) -> None:
     """Materialize the IVF index through the Catalog: ``ivf_centroids`` (tiny)
     and ``ivf_assign`` PARTITIONED BY centroid id — probes read only matching
@@ -222,18 +224,18 @@ def build_ivf_index(
         f"sample={fit_sample_hex or 'full'} "
         f"fp={_input_fingerprint(vectors, id_col, vec_col)}"
     )
-    if cat.exists("ivf_centroids"):
-        prior = {m["stage"] for m in cat.metrics("ivf_centroids")}
+    if cat.exists(cent_table):
+        prior = {m["stage"] for m in cat.metrics(cent_table)}
         if prior and prior != {stage}:
             raise ValueError(
                 f"out_root holds an IVF index built with {sorted(prior)}; requested "
-                f"'{stage}' — use a fresh out_root or delete ivf_centroids/ivf_assign"
+                f"'{stage}' — use a fresh out_root or delete {cent_table}/{assign_table}"
             )
-        if cat.exists("ivf_assign"):
+        if cat.exists(assign_table):
             return
         cent_rows = sorted(
             (int(r["centroid_id"]), list(r["cvec"]))
-            for r in cat.read(spark, "ivf_centroids").collect()
+            for r in cat.read(spark, cent_table).collect()
         )
     else:
         cent_rows = kmeans_centroids(
@@ -245,15 +247,15 @@ def build_ivf_index(
         cat.commit_partitions(
             # n_centroids rows — one task, not one per shuffle partition
             cent.coalesce(1).withColumn("bucket", F.lit(0)),
-            "ivf_centroids",
+            cent_table,
             stage=stage,
         )
-    if not cat.exists("ivf_assign"):
+    if not cat.exists(assign_table):
         d = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
         assigned = _assignments(d, cent_rows, id_col)
         cat.commit_partitions(
             assigned.withColumn("bucket", F.col("centroid_id").cast("int")),
-            "ivf_assign",
+            assign_table,
             stage=stage,
         )
 
@@ -265,12 +267,14 @@ def ivf_topk_indexed(
     k: int = 10,
     n_probe: int = 2,
     id_col: str = "vec_id",
+    cent_table: str = "ivf_centroids",
+    assign_table: str = "ivf_assign",
 ) -> DataFrame:
     """ANN top-k against the MATERIALIZED index: rank centroids (computed in
     Spark so the 6-dp rounding matches the oracle bit-for-bit), then scan only
     the n_probe matching partition directories."""
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    cent = cat.read(spark, "ivf_centroids")
+    cent = cat.read(spark, cent_table)
     ranked = cent.select(
         "centroid_id", F.round(cosine_sim(F.col("cvec"), qv), 6).alias("qsim")
     ).collect()  # tiny: n_centroids rows
@@ -278,7 +282,7 @@ def ivf_topk_indexed(
         r["centroid_id"]
         for r in sorted(ranked, key=lambda r: (-r["qsim"], r["centroid_id"]))[:n_probe]
     ]
-    hits = cat.read_buckets(spark, "ivf_assign", probe)
+    hits = cat.read_buckets(spark, assign_table, probe)
     return (
         hits.select(id_col, F.round(cosine_sim(F.col("_v"), qv), 6).alias("sim"))
         .orderBy(F.desc("sim"), F.asc(id_col))

@@ -232,9 +232,17 @@ def _hybrid(
     terms: list[str],
     qvec: list[float],
     fuzziness: int,
+    sem_hits: DataFrame | None = None,
 ) -> DataFrame:
     """Candidates = lexical(min_should_match=2) ∪ semantic top-semantic_k;
-    per-branch min-max to [0,1] over candidates, arithmetic-mean fusion."""
+    per-branch min-max to [0,1] over candidates, arithmetic-mean fusion.
+
+    ``sem_hits`` (doc_id, sim — e.g. an IVF probe from
+    ``similarity.ivf_topk_indexed``) replaces the exact full-corpus semantic
+    top-k: the tiny hit set is broadcast-joined in, flagged rows score their
+    pre-computed ANN sim, and Catalyst PRUNES the per-row cosine out of the
+    scan entirely (sem_score is never referenced) — the 256-d dot product is
+    then evaluated only inside the probed index buckets, not per corpus row."""
     s = _with_scores(enriched, terms, qvec, fuzziness)
     lex = F.round(
         F.col("summary_ov") * 2.0
@@ -250,10 +258,18 @@ def _hybrid(
         + (F.col("topic_ov") > 0).cast("int")
     )
     s = s.withColumn("lex_score", lex).withColumn("lex_ok", should >= 2)
-    s = _semantic_topk_flag(s, semantic_k, "_sem_top")
+    if sem_hits is None:
+        s = _semantic_topk_flag(s, semantic_k, "_sem_top")
+        sem_val = F.col("sem_score")
+    else:
+        hits = sem_hits.select("doc_id", F.col("sim").alias("_ann_sim"))
+        s = s.join(F.broadcast(hits), "doc_id", "left").withColumn(
+            "_sem_top", F.col("_ann_sim").isNotNull()
+        )
+        sem_val = F.col("_ann_sim")
     cand = s.where(F.col("lex_ok") | F.col("_sem_top"))
     cand = cand.withColumn("lex_b", F.when(F.col("lex_ok"), F.col("lex_score")).otherwise(0.0))
-    cand = cand.withColumn("sem_b", F.when(F.col("_sem_top"), F.col("sem_score")).otherwise(0.0))
+    cand = cand.withColumn("sem_b", F.when(F.col("_sem_top"), sem_val).otherwise(0.0))
     # branch min/max as ONE aggregate broadcast back — a partition-less window
     # would single-task the whole candidate set at scale
     stats = cand.agg(
@@ -334,6 +350,169 @@ def pro_search_sql(
     semantic_k = max(5 * k, 50)
     return f"""
     {_hybrid_sql(enriched_glob, semantic_k, terms, qvec, fuzziness)}
+    SELECT doc_id, score FROM fused ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """
+
+
+# ================================================================ Q3b pro + ANN
+# Doc-embedding IVF index parameters (materialized next to the enriched
+# table; separate from the embeddings-table index so the two never collide).
+DOC_IVF_CENT = "doc_ivf_centroids"
+DOC_IVF_ASSIGN = "doc_ivf_assign"
+DOC_IVF_CENTROIDS = 8
+DOC_IVF_ITER = 2
+DOC_IVF_FIT_HEX = "80"
+DOC_IVF_PROBE = 2
+
+
+def ensure_doc_ivf(spark: SparkSession, cat, enriched: DataFrame) -> None:
+    """Build (idempotently) the IVF index over the enriched table's OWN
+    document embeddings, keyed by ``doc_key = CAST(doc_id AS LONG)`` — the
+    index machinery buckets partitions by integer centroid id and seeds
+    k-means by ascending id, so the key must be numeric in both engines
+    (canonical digit-string doc_ids round-trip the cast exactly; a corpus
+    with non-numeric ids would first materialize a (doc_id, doc_key) map).
+
+    This is the index the reference serves interactive search from (HNSW,
+    utils/create_vector_index.py:16-21) — built ONCE next to the enriched
+    table and reused by every ANN-assisted query, never rebuilt per query."""
+    from ..operators.similarity import build_ivf_index
+
+    vecs = enriched.select(
+        F.col("doc_id").cast("long").alias("doc_key"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    build_ivf_index(
+        spark,
+        vecs,
+        cat,
+        n_centroids=DOC_IVF_CENTROIDS,
+        n_iter=DOC_IVF_ITER,
+        id_col="doc_key",
+        fit_sample_hex=DOC_IVF_FIT_HEX,
+        cent_table=DOC_IVF_CENT,
+        assign_table=DOC_IVF_ASSIGN,
+    )
+
+
+def pro_search_ann(
+    spark: SparkSession,
+    cat,
+    enriched: DataFrame,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+    n_probe: int = DOC_IVF_PROBE,
+) -> DataFrame:
+    """pro_search with the semantic branch served by the MATERIALIZED doc-IVF
+    index instead of an exact full-corpus cosine scan (round-3 VERDICT
+    'What's missing' #1): the probe reads only ``n_probe`` of
+    ``DOC_IVF_CENTROIDS`` bucket directories, so per-row 256-d dot products
+    are evaluated over ~n_probe/n_centroids of the corpus — the exact
+    ``pro_search`` stays as the recall-1.0 twin. Fusion math is unchanged;
+    the semantic candidate set is the ANN top-semantic_k (recall contract:
+    whatever the probed buckets contain — standard IVF semantics, and
+    exactly reproduced by the DuckDB oracle, which replays the same index)."""
+    from ..operators.similarity import ivf_topk_indexed
+
+    terms, qvec = _params(query_text)
+    semantic_k = max(5 * k, 50)
+    ensure_doc_ivf(spark, cat, enriched)
+    sem_hits = ivf_topk_indexed(
+        spark,
+        cat,
+        qvec,
+        k=semantic_k,
+        n_probe=n_probe,
+        id_col="doc_key",
+        cent_table=DOC_IVF_CENT,
+        assign_table=DOC_IVF_ASSIGN,
+    ).select(F.col("doc_key").cast("string").alias("doc_id"), "sim")
+    return (
+        _hybrid(enriched, semantic_k, terms, qvec, fuzziness, sem_hits=sem_hits)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _doc_ivf_ann_sql(enriched_glob: str, qvec: list[float], semantic_k: int) -> str:
+    """CTE chain replaying the doc-IVF index + probe in DuckDB (the
+    entrypoints._ivf_oracle_sql pattern over the enriched table): ends with
+    ``ann(doc_id, sim)`` = the ANN top-semantic_k."""
+    dim = len(qvec)
+    qs = _qvec_sql(qvec)
+
+    def assign(cent: str, name: str, src: str) -> str:
+        return (
+            f"{name} AS (SELECT vec_id, min({{'nc': -round(list_cosine_similarity({src}.v, "
+            f"c.cvec), 6), 'cid': c.centroid_id}}).cid AS centroid_id "
+            f"FROM {src}, {cent} c GROUP BY vec_id)"
+        )
+
+    def update(a: str, name: str) -> str:
+        return (
+            f"{name} AS (SELECT centroid_id, list_transform(generate_series(1, {dim}), "
+            f"j -> round(list_avg(list_transform(vs, v -> v[j])), 6)) AS cvec "
+            f"FROM (SELECT a.centroid_id, list(fs.v) AS vs FROM {a} a "
+            f"JOIN fs USING (vec_id) GROUP BY a.centroid_id))"
+        )
+
+    ctes = [
+        f"ev AS (SELECT CAST(doc_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM read_parquet('{enriched_glob}'))",
+        f"fs AS (SELECT * FROM ev WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '{DOC_IVF_FIT_HEX}')",
+        f"c0 AS (SELECT vec_id AS centroid_id, v AS cvec FROM fs ORDER BY vec_id ASC LIMIT {DOC_IVF_CENTROIDS})",
+    ]
+    for t in range(DOC_IVF_ITER):
+        ctes.append(assign(f"c{t}", f"fa{t}", "fs"))
+        ctes.append(update(f"fa{t}", f"c{t + 1}"))
+    ctes.append(assign(f"c{DOC_IVF_ITER}", "af", "ev"))
+    ctes.append(
+        f"probed AS (SELECT centroid_id FROM ("
+        f"SELECT c.centroid_id, round(list_cosine_similarity(c.cvec, {qs}), 6) AS qsim "
+        f"FROM c{DOC_IVF_ITER} c ORDER BY qsim DESC, centroid_id ASC LIMIT {DOC_IVF_PROBE}))"
+    )
+    ctes.append(
+        f"ann AS (SELECT CAST(a.vec_id AS VARCHAR) AS doc_id, "
+        f"round(list_cosine_similarity(ev.v, {qs}), 6) AS ann_sim "
+        f"FROM af a JOIN ev USING (vec_id) JOIN probed USING (centroid_id) "
+        f"ORDER BY ann_sim DESC, a.vec_id ASC LIMIT {semantic_k})"
+    )
+    return ",\n    ".join(ctes)
+
+
+def pro_search_ann_sql(
+    enriched_glob: str,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+) -> str:
+    terms, qvec = _params(query_text)
+    semantic_k = max(5 * k, 50)
+    docs_cte = _docs_cte(enriched_glob, terms, qvec, fuzziness)
+    return f"""
+    {docs_cte},
+    {_doc_ivf_ann_sql(enriched_glob, qvec, semantic_k)},
+    ranked AS (
+      SELECT s.*, ann.ann_sim,
+        round(summary_ov * 2.0 + content_ov * 3.0 + ent_ov * 1.5 + topic_ov * 1.5, 6) AS lex_score,
+        (CAST(summary_ov > 0 AS INT) + CAST(content_ov > 0 AS INT) +
+         CAST(ent_ov > 0 AS INT) + CAST(topic_ov > 0 AS INT)) >= 2 AS lex_ok
+      FROM scored s LEFT JOIN ann USING (doc_id)),
+    cand AS (
+      SELECT *,
+        CASE WHEN lex_ok THEN lex_score ELSE 0.0 END AS lex_b,
+        CASE WHEN ann_sim IS NOT NULL THEN ann_sim ELSE 0.0 END AS sem_b
+      FROM ranked WHERE lex_ok OR ann_sim IS NOT NULL),
+    normed AS (
+      SELECT *,
+        round(CASE WHEN max(lex_b) OVER () = min(lex_b) OVER () THEN 1.0
+              ELSE (lex_b - min(lex_b) OVER ()) / (max(lex_b) OVER () - min(lex_b) OVER ()) END, 6) AS lex_n,
+        round(CASE WHEN max(sem_b) OVER () = min(sem_b) OVER () THEN 1.0
+              ELSE (sem_b - min(sem_b) OVER ()) / (max(sem_b) OVER () - min(sem_b) OVER ()) END, 6) AS sem_n
+      FROM cand),
+    fused AS (SELECT *, round((lex_n + sem_n) / 2.0, 6) AS score FROM normed)
     SELECT doc_id, score FROM fused ORDER BY score DESC, doc_id ASC LIMIT {k}
     """
 

@@ -147,3 +147,32 @@ def test_search_plans_have_no_global_window(spark):
         plan = fn(enr)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan, f"{fn.__name__} compiled a WindowExec"
         assert "TakeOrderedAndProject" in plan, fn.__name__
+
+
+def test_ann_search_plan_prunes_cosine_and_buckets(spark):
+    """search_pro_ann's scale contract: the full-corpus enriched scan must
+    carry NO per-row cosine (Catalyst prunes sem_score once the ANN hits are
+    joined in), every vector dot product must sit on the bucket-pruned
+    doc_ivf_assign scans, and no partition-less window may appear."""
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.plans import search as S
+    from semantic_search_system_spark.plans.pipeline import ensure_enriched
+
+    import semantic_search_system_spark.entrypoints as ep
+
+    enr = ensure_enriched(spark, SF_SMALL, ep.out_root(SF_SMALL))
+    cat = Catalog(ep.out_root(SF_SMALL))
+    df = S.pro_search_ann(spark, cat, enr)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # bucket-pruned probe: only n_probe of the doc_ivf_assign bucket dirs
+    import re
+
+    buckets = set(re.findall(r"doc_ivf_assign/bucket=\d+", plan))
+    assert 0 < len(buckets) <= S.DOC_IVF_PROBE, buckets
+    # the cosine HOF (zip_with) appears only on lines that project the probed
+    # index's _v column — never on the enriched-table scan
+    for line in plan.splitlines():
+        if "zip_with" in line.lower():
+            assert "_v#" in line, f"cosine computed outside the index probe: {line[:160]}"
+    assert df.count() == len(df.take(100)) <= 10
