@@ -30,21 +30,11 @@ def _slot(token: str) -> tuple[int, float]:
     return s
 
 
-def embed_batch(
-    texts: pd.Series,
-    dim: int = spec.EMBED_DIM,
-    toks: pd.Series | None = None,
-    ts=None,
-) -> pd.Series:
-    """Vectorized: the factorized (row, token)+count stream → one np.add.at
-    scatter-add. Python loops touch only the batch's UNIQUE tokens (the
-    vocabulary, tiny next to the token stream). ``toks``/``ts`` let the fused
-    enrich UDF pass the already-computed token lists / TokenStream (identical
-    spec tokenization) instead of re-splitting and re-factorizing."""
-    if ts is None:
-        from .extraction import build_token_stream, tokenize_batch
-
-        ts = build_token_stream(tokenize_batch(texts) if toks is None else toks)
+def embed_matrix(ts, dim: int = spec.EMBED_DIM) -> np.ndarray:
+    """The batch's embeddings as ONE (n, dim) float32 matrix from the
+    factorized (row, token)+count stream — a single np.add.at scatter-add;
+    Python loops touch only the batch's UNIQUE tokens (the vocabulary, tiny
+    next to the token stream)."""
     out = np.zeros((ts.n, dim), dtype=np.float64)
     if len(ts.prow):
         slot_arr = np.array([_slot(w) for w in ts.uniq])  # vocab-sized loop only
@@ -53,7 +43,36 @@ def embed_batch(
         np.add.at(out, (ts.prow, idxs), signs * ts.pcnt.astype(np.float64))
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     np.divide(out, norms, out=out, where=norms > 0)
-    return pd.Series(list(out.astype(np.float32)))
+    return out.astype(np.float32)
+
+
+def embed_list_array(ts, dim: int = spec.EMBED_DIM):
+    """The matrix as a pa.ListArray built from raveled values + arithmetic
+    offsets — the zero-Python serialization path of the fused enrich UDF
+    (an object Series of per-row ndarrays costs a per-row conversion walk in
+    pa.Array.from_pandas: measured 5.7 s per 320k docs at local[4])."""
+    import pyarrow as pa
+
+    M = embed_matrix(ts, dim)
+    offs = pa.array(np.arange(ts.n + 1, dtype=np.int32) * dim)
+    return pa.ListArray.from_arrays(offs, pa.array(M.ravel()))
+
+
+def embed_batch(
+    texts: pd.Series,
+    dim: int = spec.EMBED_DIM,
+    toks: pd.Series | None = None,
+    ts=None,
+) -> pd.Series:
+    """``embed_matrix`` with the standalone-operator pandas contract.
+    ``toks``/``ts`` let callers pass the already-computed token lists /
+    TokenStream (identical spec tokenization) instead of re-splitting and
+    re-factorizing."""
+    if ts is None:
+        from .extraction import build_token_stream, tokenize_batch
+
+        ts = build_token_stream(tokenize_batch(texts) if toks is None else toks)
+    return pd.Series(list(embed_matrix(ts, dim)))
 
 
 @F.pandas_udf(T.ArrayType(T.FloatType()))

@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import spec
-from .embedding import embed_batch
-from .extraction import _extract_batch, build_token_stream
+from .embedding import embed_list_array
+from .extraction import _extract_winners, _winners_list_array, build_token_stream_arrow
 
 ENRICH_RESULT = T.StructType(
     [
@@ -41,7 +41,7 @@ ENRICH_RESULT = T.StructType(
 )
 
 
-def clean_batch(contents: pd.Series) -> pd.Series:
+def clean_arrow(contents: pd.Series) -> pa.Array:
     """The spec cleaner (lower → strip non-alnum → collapse ws → trim) as
     vectorized Arrow kernels — RE2, one pass per op, no Python per row."""
     # type pinned: an empty object Series would otherwise infer a null-typed
@@ -54,20 +54,36 @@ def clean_batch(contents: pd.Series) -> pd.Series:
     # only plain spaces remain, so trim spaces only — exactly JVM F.trim.
     arr = pc.replace_substring_regex(arr, pattern=spec.CLEAN_STRIP_RE, replacement="")
     arr = pc.replace_substring_regex(arr, pattern=spec.CLEAN_WS_RE, replacement=" ")
-    arr = pc.utf8_trim(arr, characters=" ")
-    return arr.to_pandas()
+    return pc.utf8_trim(arr, characters=" ")
+
+
+def clean_batch(contents: pd.Series) -> pd.Series:
+    return clean_arrow(contents).to_pandas()
 
 
 @F.pandas_udf(ENRICH_RESULT)
 def enrich_udf(contents: pd.Series) -> pd.DataFrame:
-    cleaned = clean_batch(contents).reset_index(drop=True)
-    # collapsed + trimmed → whitespace split is the entire spec tokenizer
-    toks = cleaned.str.split()
-    ts = build_token_stream(toks)  # once — extract and embed share the stream
-    out = _extract_batch(cleaned, ts=ts)
-    out.insert(0, "content", cleaned)
-    out["embedding"] = embed_batch(cleaned, ts=ts)
-    return out
+    arr = clean_arrow(contents)
+    # the stream is built ONCE, straight from the Arrow array (C split +
+    # dictionary encode), and shared by extract and embed
+    ts = build_token_stream_arrow(arr)
+    (er, ev), (tr, tv) = _extract_winners(ts)
+    # every output column is Arrow-BACKED (ArrowExtensionArray wraps the
+    # arrays; Spark's serializer takes them zero-copy via __arrow_array__):
+    # an object Series of Python lists / per-row ndarrays costs a per-row
+    # conversion walk in pa.Array.from_pandas — the embedding column alone
+    # was 5.7 s per 320k docs at local[4], over half the UDF wall.
+    def _ae(a):
+        return pd.Series(pd.arrays.ArrowExtensionArray(a))
+
+    return pd.DataFrame(
+        {
+            "content": _ae(arr),
+            "entities": _ae(_winners_list_array(er, ev, ts.n)),
+            "topics": _ae(_winners_list_array(tr, tv, ts.n)),
+            "embedding": _ae(embed_list_array(ts)),
+        }
+    )
 
 
 def enrich_content(df: DataFrame, content_col: str = "content") -> DataFrame:
