@@ -13,9 +13,11 @@ expensive expressions in the whole enrich stage (~11 s per 320k docs at
 local[4]), while RE2 does the same work at memory speed — and RE2 is also
 what the DuckDB oracle uses, so the engines agree on the regex dialect.
 
-Must stay spec-exact: delegates to the same batch kernels the standalone
-operators use (operators/extraction._extract_batch, operators/embedding
-embed_batch), so the UDF==native==golden cross-checks keep holding.
+Must stay spec-exact: delegates to the same winner/embedding cores the
+standalone operators wrap (operators/extraction._extract_winners,
+operators/embedding.embed_matrix), so the UDF==native==golden cross-checks
+keep holding — pinned by test_fused_enrich_equals_unfused and
+test_arrow_token_stream_matches_pandas.
 """
 
 from __future__ import annotations

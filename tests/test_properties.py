@@ -155,3 +155,34 @@ def test_spec_tokens_match_reference_clean(s):
     assert spec.clean_tokens(s) == _clean_reference(s).split(" ") or (
         _clean_reference(s) == "" and spec.clean_tokens(s) == []
     )
+
+
+@given(st.lists(_clean_texts, min_size=0, max_size=14))
+@settings(max_examples=80, deadline=None)
+def test_arrow_token_stream_matches_pandas(batch):
+    """build_token_stream_arrow (C split + dictionary_encode over the cleaned
+    Arrow array) must produce the same occurrence stream — and therefore the
+    same extraction winners and embeddings — as the pandas path, for
+    arbitrary input incl. empty/whitespace-only/unicode rows."""
+    from semantic_search_system_spark.operators.embedding import embed_matrix
+    from semantic_search_system_spark.operators.enrichment import clean_arrow
+    from semantic_search_system_spark.operators.extraction import (
+        _extract_batch,
+        build_token_stream,
+        build_token_stream_arrow,
+    )
+
+    s = pd.Series(batch, dtype=object)
+    arr = clean_arrow(s)
+    cleaned = arr.to_pandas()
+    old = build_token_stream(cleaned.str.split())
+    new = build_token_stream_arrow(arr)
+    assert old.n == new.n == len(batch)
+    assert np.array_equal(old.rows, new.rows)
+    # vocabularies may differ by an unused '' entry; per-occurrence tokens
+    # and everything derived from them must be identical
+    assert np.array_equal(old.uniq[old.codes], new.uniq[new.codes])
+    eo, en = _extract_batch(cleaned, ts=old), _extract_batch(cleaned, ts=new)
+    assert eo["entities"].tolist() == en["entities"].tolist()
+    assert eo["topics"].tolist() == en["topics"].tolist()
+    assert np.array_equal(embed_matrix(old), embed_matrix(new))
