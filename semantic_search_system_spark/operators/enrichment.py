@@ -33,11 +33,14 @@ from .. import spec
 from .embedding import embed_list_array
 from .extraction import _extract_winners, _winners_list_array, build_token_stream_arrow
 
+_LABELED = T.ArrayType(
+    T.StructType([T.StructField("text", T.StringType()), T.StructField("label", T.StringType())])
+)
 ENRICH_RESULT = T.StructType(
     [
         T.StructField("content", T.StringType()),
-        T.StructField("entities", T.ArrayType(T.StringType())),
-        T.StructField("topics", T.ArrayType(T.StringType())),
+        T.StructField("entities", _LABELED),
+        T.StructField("topics", _LABELED),
         T.StructField("embedding", T.ArrayType(T.FloatType())),
     ]
 )
@@ -87,8 +90,8 @@ def enrich_udf(contents: pa.Array) -> pa.Array:
     return pa.StructArray.from_arrays(
         [
             arr,
-            _winners_list_array(er, ev, ts.n),
-            _winners_list_array(tr, tv, ts.n),
+            _winners_list_array(er, ev, ts.n, label="ENTITY"),
+            _winners_list_array(tr, tv, ts.n, label="TOPIC"),
             embed_list_array(ts),
         ],
         names=["content", "entities", "topics", "embedding"],
@@ -101,23 +104,13 @@ def enrich_content(df: DataFrame, content_col: str = "content") -> DataFrame:
     ``clean_text_col`` ∘ ``extract_entities_topics`` ∘ ``with_embedding``.
     ``content_col`` may be raw (assemble_content(clean=False)) or already
     clean — the cleaner is idempotent."""
+    # the UDF already emits (text, label) structs — no JVM-side transform
+    # lambda (CodegenFallback, interpreted per element) in the plan
     df = df.withColumn("_en", enrich_udf(F.col(content_col)))
     return (
         df.withColumn(content_col, F.col("_en.content"))
-        .withColumn(
-            "entities",
-            F.transform(
-                F.col("_en.entities"),
-                lambda t: F.struct(t.alias("text"), F.lit("ENTITY").alias("label")),
-            ),
-        )
-        .withColumn(
-            "topics",
-            F.transform(
-                F.col("_en.topics"),
-                lambda t: F.struct(t.alias("text"), F.lit("TOPIC").alias("label")),
-            ),
-        )
+        .withColumn("entities", F.col("_en.entities"))
+        .withColumn("topics", F.col("_en.topics"))
         .withColumn("embedding", F.col("_en.embedding"))
         .drop("_en")
     )

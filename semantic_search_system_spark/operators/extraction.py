@@ -332,17 +332,23 @@ def _extract_winners(ts: TokenStream):
     return ent_w, top_w
 
 
-def _winners_list_array(rows_sorted: np.ndarray, values: np.ndarray, n: int):
+def _winners_list_array(rows_sorted: np.ndarray, values: np.ndarray, n: int, label: str | None = None):
     """Sorted flat winners → pa.ListArray built straight from offsets — the
     zero-Python output path of the fused enrich UDF (converting an object
-    Series of Python lists through pa.Array.from_pandas was a per-row walk)."""
+    Series of Python lists through pa.Array.from_pandas was a per-row walk).
+    With ``label``, the list values are (text, label) structs — the constant
+    label column materializes via a C-side dictionary take, so the JVM-side
+    ``F.transform`` struct wrap (CodegenFallback, interpreted per element)
+    disappears from the plan."""
     import pyarrow as pa
 
     offs = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(np.bincount(rows_sorted, minlength=n), out=offs[1:])
-    return pa.ListArray.from_arrays(
-        pa.array(offs), pa.array(values, type=pa.string())
-    )
+    vals = pa.array(values, type=pa.string())
+    if label is not None:
+        lab = pa.array([label]).take(pa.array(np.zeros(len(values), np.int32)))
+        vals = pa.StructArray.from_arrays([vals, lab], names=["text", "label"])
+    return pa.ListArray.from_arrays(pa.array(offs), vals)
 
 
 _STOP_ARR = np.array(sorted(spec.STOPWORDS), dtype=object)
