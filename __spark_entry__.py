@@ -129,6 +129,11 @@ _PRIORITY = [
     "span_sequence_invariant",
 ]
 _TAIL = [
+    # search_kb over the doc-IVF index (round 4): the ANN capability's hash
+    # evidence lives in-window via search_pro_ann (same index, same probe);
+    # this second strategy variant is oracle-checked by
+    # tests/test_oracle_parity.py and queued for a driver row next rotation
+    "search_kb_ann",
     # rotated to tail in round 4 to fund the window rotations above; every
     # one is multi-round hash-green (r02+r03) and byte-unchanged this round
     "doc_quality_scores", "media_attrs_per_doc", "json_props_extract",

@@ -2204,5 +2204,13 @@ def _register_search() -> None:
     _REGISTRY["search_pro_ann"] = _pro_ann
     _ORACLES["search_pro_ann"] = S.pro_search_ann_sql(ORACLE_ENRICHED_GLOB)
 
+    def _kb_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .catalog import Catalog
+
+        return S.search_kb_ann(spark, Catalog(out_root(sf_dir)), _enriched(spark, sf_dir))
+
+    _REGISTRY["search_kb_ann"] = _kb_ann
+    _ORACLES["search_kb_ann"] = S.search_kb_ann_sql(ORACLE_ENRICHED_GLOB)
+
 
 _register_search()

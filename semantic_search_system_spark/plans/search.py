@@ -482,17 +482,17 @@ def _doc_ivf_ann_sql(enriched_glob: str, qvec: list[float], semantic_k: int) -> 
     return ",\n    ".join(ctes)
 
 
-def pro_search_ann_sql(
+def _hybrid_ann_sql(
     enriched_glob: str,
-    query_text: str = QUERY_TEXT,
-    k: int = K,
-    fuzziness: int = FUZZINESS,
+    semantic_k: int,
+    terms: list[str],
+    qvec: list[float],
+    fuzziness: int,
 ) -> str:
-    terms, qvec = _params(query_text)
-    semantic_k = max(5 * k, 50)
-    docs_cte = _docs_cte(enriched_glob, terms, qvec, fuzziness)
+    """_hybrid_sql with the semantic branch from the replayed doc-IVF probe
+    (ann CTE) instead of the exact full-corpus rank — ends with ``fused``."""
     return f"""
-    {docs_cte},
+    {_docs_cte(enriched_glob, terms, qvec, fuzziness)},
     {_doc_ivf_ann_sql(enriched_glob, qvec, semantic_k)},
     ranked AS (
       SELECT s.*, ann.ann_sim,
@@ -513,7 +513,40 @@ def pro_search_ann_sql(
               ELSE (sem_b - min(sem_b) OVER ()) / (max(sem_b) OVER () - min(sem_b) OVER ()) END, 6) AS sem_n
       FROM cand),
     fused AS (SELECT *, round((lex_n + sem_n) / 2.0, 6) AS score FROM normed)
+    """
+
+
+def pro_search_ann_sql(
+    enriched_glob: str,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+) -> str:
+    terms, qvec = _params(query_text)
+    semantic_k = max(5 * k, 50)
+    return f"""
+    {_hybrid_ann_sql(enriched_glob, semantic_k, terms, qvec, fuzziness)}
     SELECT doc_id, score FROM fused ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """
+
+
+def search_kb_ann_sql(
+    enriched_glob: str,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+) -> str:
+    terms, qvec = _params(query_text)
+    semantic_k = min(max(1, k), 10)
+    return f"""
+    {_hybrid_ann_sql(enriched_glob, semantic_k, terms, qvec, fuzziness)},
+    n100 AS (
+      SELECT *, round(CASE WHEN max(score) OVER () = min(score) OVER () THEN 100.0
+             ELSE greatest(1.0, least(100.0,
+                  1.0 + (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ()) * 99.0)) END, 6) AS norm_score
+      FROM fused)
+    SELECT doc_id, norm_score AS score FROM n100
+    WHERE norm_score >= 70.0 ORDER BY score DESC, doc_id ASC LIMIT {k}
     """
 
 
@@ -601,16 +634,9 @@ def pro_search_enhanced_sql(
 
 
 # ================================================================ Q5 search_kb
-def search_kb(
-    enriched: DataFrame,
-    query_text: str = QUERY_TEXT,
-    k: int = K,
-    fuzziness: int = FUZZINESS,
-) -> DataFrame:
-    terms, qvec = _params(query_text)
-    semantic_k = min(max(1, k), 10)  # capped (search_service.py:329-330)
-    fused = _hybrid(enriched, semantic_k, terms, qvec, fuzziness)
-    # normalize fused score to [1,100], threshold >= 70 (search_service.py:380-382)
+def _kb_normalize_threshold(fused: DataFrame, k: int) -> DataFrame:
+    """search_kb's tail: normalize fused score to [1,100], threshold >= 70
+    (search_service.py:380-382), top-k."""
     stats = fused.agg(F.min("score").alias("_mn"), F.max("score").alias("_mx"))
     fused = fused.crossJoin(F.broadcast(stats))
     mn, mx = F.col("_mn"), F.col("_mx")
@@ -626,6 +652,45 @@ def search_kb(
         .select("doc_id", F.col("norm_score").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def search_kb(
+    enriched: DataFrame,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+) -> DataFrame:
+    terms, qvec = _params(query_text)
+    semantic_k = min(max(1, k), 10)  # capped (search_service.py:329-330)
+    return _kb_normalize_threshold(
+        _hybrid(enriched, semantic_k, terms, qvec, fuzziness), k
+    )
+
+
+def search_kb_ann(
+    spark: SparkSession,
+    cat,
+    enriched: DataFrame,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+    n_probe: int = DOC_IVF_PROBE,
+) -> DataFrame:
+    """search_kb with the semantic branch served by the materialized doc-IVF
+    index (pro_search_ann pattern) — the exact search_kb stays as the
+    recall-1.0 twin, and the DuckDB oracle replays the same index."""
+    from ..operators.similarity import ivf_topk_indexed
+
+    terms, qvec = _params(query_text)
+    semantic_k = min(max(1, k), 10)
+    ensure_doc_ivf(spark, cat, enriched)
+    sem_hits = ivf_topk_indexed(
+        spark, cat, qvec, k=semantic_k, n_probe=n_probe, id_col="doc_key",
+        cent_table=DOC_IVF_CENT, assign_table=DOC_IVF_ASSIGN,
+    ).select(F.col("doc_key").cast("string").alias("doc_id"), "sim")
+    return _kb_normalize_threshold(
+        _hybrid(enriched, semantic_k, terms, qvec, fuzziness, sem_hits=sem_hits), k
     )
 
 
