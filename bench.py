@@ -198,6 +198,7 @@ HEADLINE_QUERIES = [
     "search_pro",
     "search_pro_ann",
     "search_pro_enhanced",
+    "search_pro_enhanced_ann",
     "spans_kind_counts",
 ]
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -85,10 +86,15 @@ class Catalog:
         return spark.createDataFrame([], T.StructType.fromJson(json.loads(man["schema"])))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
+        """Manifest-led read (Iceberg semantics): the partition LIST comes from
+        the manifest, not a directory walk, so (a) a crash that published a
+        partition dir without recording it exposes nothing until the resume
+        pass republishes it, and (b) compaction can swap many partitions for
+        one in a single atomic manifest replace with readers never seeing
+        doubled rows."""
         dirs = [
-            os.path.join(self.path(table), d)
-            for d in sorted(os.listdir(self.path(table)))
-            if d.startswith(f"{BUCKET_COL}=")
+            os.path.join(self.path(table), f"{BUCKET_COL}={k}")
+            for k in sorted(self.manifest(table)["partitions"])
         ]
         if not dirs:
             return self._empty(spark, table)
@@ -98,10 +104,11 @@ class Catalog:
         """Partition-pruned read: only the named ``bucket=<b>`` directories are
         scanned (the IVF probe path — an n_probe/n_centroids fraction of the
         table's bytes)."""
+        man = self.manifest(table)["partitions"]
         dirs = [
-            p
+            os.path.join(self.path(table), f"{BUCKET_COL}={b}")
             for b in buckets
-            if os.path.exists(p := os.path.join(self.path(table), f"{BUCKET_COL}={b}"))
+            if str(b) in man
         ]
         if not dirs:  # every probed partition is empty — a valid (rare) miss
             return self._empty(spark, table)
@@ -197,3 +204,105 @@ class Catalog:
             {"table": man["table"], "partition_id": pid, **entry}
             for pid, entry in sorted(man["partitions"].items())
         ]
+
+    # ------------------------------------------------------------- compaction
+    _EPOCH_KEY = re.compile(r"\d+_-?\d+")  # "<epoch>_<bucket>" stream partitions
+    _COMPACT_KEY = re.compile(r"c(\d+)_(-?\d+)")  # "c<gen>_<bucket>" outputs
+
+    def _sweep_unreferenced(self, table: str) -> None:
+        """GC partition dirs the manifest doesn't reference and stale
+        compaction staging — the only way such dirs arise is a compaction
+        interrupted after its atomic manifest publish (source dirs not yet
+        deleted) or before it (targets staged but never published)."""
+        parts = self.manifest(table)["partitions"]
+        tdir = self.path(table)
+        if not os.path.isdir(tdir):
+            return
+        for d in os.listdir(tdir):
+            p = os.path.join(tdir, d)
+            if d.startswith("_compacting_"):
+                shutil.rmtree(p, ignore_errors=True)
+            elif d.startswith(f"{BUCKET_COL}=") and d.split("=", 1)[1] not in parts:
+                shutil.rmtree(p, ignore_errors=True)
+
+    def compact_stream_epochs(self, spark: SparkSession, table: str) -> dict:
+        """Fold completed epoch-scoped stream partitions (``<epoch>_<bucket>``,
+        plus any previous compaction outputs ``c<gen>_<bucket>`` for the same
+        buckets) into ONE canonical partition per bucket — Iceberg
+        ``rewrite_data_files`` semantics over the streaming sink's
+        small-partition debris (streaming/incremental.py enrich_stream writes
+        one partition per (epoch, bucket); at 10^12 docs that's unbounded
+        file-count growth unless folded).
+
+        Atomic + idempotent: compacted data is staged, published under FRESH
+        ``c<gen>_<bucket>`` keys invisible to readers (reads are
+        manifest-led), then a single atomic manifest replace drops the source
+        keys and adds the targets; source dirs are GC'd afterwards (and by
+        the sweep on the next call, if interrupted). A crash at any point
+        leaves reads exactly pre- or post-compaction, never doubled.
+        Single-writer: run while the stream is stopped, like any table
+        maintenance. Returns the committed target partitions ({} = no-op)."""
+        t0 = time.time()
+        self._sweep_unreferenced(table)
+        man = self.manifest(table)
+        parts = man["partitions"]
+        epoch_keys = [k for k in parts if self._EPOCH_KEY.fullmatch(k)]
+        if not epoch_keys:
+            return {}
+        gen = 1 + max(
+            (int(m.group(1)) for k in parts if (m := self._COMPACT_KEY.fullmatch(k))),
+            default=0,
+        )
+        targets = {k.rsplit("_", 1)[1] for k in epoch_keys}
+        prior = [
+            k
+            for k in parts
+            if (m := self._COMPACT_KEY.fullmatch(k)) and m.group(2) in targets
+        ]
+        sources = sorted(epoch_keys + prior)
+        tdir = self.path(table)
+        src_dirs = [os.path.join(tdir, f"{BUCKET_COL}={k}") for k in sources]
+        df = spark.read.option("basePath", tdir).parquet(*src_dirs)
+        df = df.withColumn(
+            BUCKET_COL,
+            F.concat(
+                F.lit(f"c{gen}_"),
+                F.element_at(F.split(F.col(BUCKET_COL).cast("string"), "_"), -1),
+            ),
+        )
+        staging = os.path.join(tdir, f"_compacting_{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        snapshot_id = uuid.uuid4().hex[:16]
+        committed: dict[str, dict] = {}
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith(f"{BUCKET_COL}="):
+                continue
+            key = d.split("=", 1)[1]
+            dst = os.path.join(tdir, d)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.replace(os.path.join(staging, d), dst)
+            committed[key] = {
+                "stage": f"compact_gen{gen}",
+                "snapshot_id": snapshot_id,
+                "rows_written": pads.dataset(dst, format="parquet").count_rows(),
+                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "wall_ms": int((time.time() - t0) * 1000),
+            }
+        shutil.rmtree(staging, ignore_errors=True)
+        for k in sources:
+            parts.pop(k, None)
+        parts.update(committed)
+        man["snapshots"].append(
+            {
+                "snapshot_id": snapshot_id,
+                "stage": f"compact_gen{gen}",
+                "partitions": sorted(committed),
+                "compacted_from": sources,
+                "total_rows": sum(e["rows_written"] for e in committed.values()),
+            }
+        )
+        self._save_manifest(table, man)  # ← the atomic publish
+        for k in sources:
+            shutil.rmtree(os.path.join(tdir, f"{BUCKET_COL}={k}"), ignore_errors=True)
+        return committed

@@ -2212,5 +2212,18 @@ def _register_search() -> None:
     _REGISTRY["search_kb_ann"] = _kb_ann
     _ORACLES["search_kb_ann"] = S.search_kb_ann_sql(ORACLE_ENRICHED_GLOB)
 
+    # The reference's FLAGSHIP strategy (main_app.py:42-48 default) served by
+    # the doc-IVF index — the last exact-scan interactive path (round-4
+    # VERDICT #2); rerank cosine runs on the k*5 window rows only.
+    def _enh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .catalog import Catalog
+
+        return S.pro_search_enhanced_ann(
+            spark, Catalog(out_root(sf_dir)), _enriched(spark, sf_dir)
+        )
+
+    _REGISTRY["search_pro_enhanced_ann"] = _enh_ann
+    _ORACLES["search_pro_enhanced_ann"] = S.pro_search_enhanced_ann_sql(ORACLE_ENRICHED_GLOB)
+
 
 _register_search()

@@ -54,7 +54,14 @@ def embed_list_array(ts, dim: int = spec.EMBED_DIM):
     import pyarrow as pa
 
     M = embed_matrix(ts, dim)
-    offs = pa.array(np.arange(ts.n + 1, dtype=np.int32) * dim)
+    if ts.n * dim >= 2**31:  # int32 ListArray offsets would silently wrap —
+        # only reachable if arrow.maxRecordsPerBatch is raised ~1000x past the
+        # 10k default; fail loudly instead of corrupting offsets
+        raise ValueError(
+            f"Arrow batch of {ts.n} rows x {dim} dims overflows int32 list "
+            "offsets; lower spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
+    offs = pa.array((np.arange(ts.n + 1, dtype=np.int64) * dim).astype(np.int32))
     return pa.ListArray.from_arrays(offs, pa.array(M.ravel()))
 
 

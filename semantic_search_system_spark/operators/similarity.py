@@ -150,10 +150,11 @@ def kmeans_centroids(
     d = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
     if fit_sample_hex is not None:
         d = d.where(fit_sample_pred(id_col, fit_sample_hex))
-    # size probe ships ONE long, not vectors: deciding the driver-vs-
-    # distributed path by collecting limit(max_driver_fit+1) full rows would
-    # pull up to ~100 MB of doubles onto the driver only to discard them
-    # whenever the fit set is oversized and the distributed loop runs
+    # materialize the fit set ONCE before the size probe: the probe ships one
+    # long, and neither the driver collect nor the distributed iterations
+    # re-run the upstream scan+filter (the distributed loop needed the
+    # checkpoint anyway — consumed once per iteration + seeding)
+    d = d.localCheckpoint(eager=True)
     n_fit = d.limit(max_driver_fit + 1).count()
     if n_fit == 0:
         raise ValueError(
@@ -162,7 +163,6 @@ def kmeans_centroids(
         )
     if n_fit <= max_driver_fit:
         return _kmeans_driver(d.collect(), n_centroids, n_iter, id_col)
-    d = d.localCheckpoint(eager=True)  # consumed once per iteration + seeding
     cent_rows = [
         (int(r[id_col]), list(r["_v"]))
         for r in d.orderBy(F.asc(id_col)).limit(n_centroids).collect()
@@ -272,12 +272,23 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """ANN top-k against the MATERIALIZED index: rank centroids (computed in
     Spark so the 6-dp rounding matches the oracle bit-for-bit), then scan only
-    the n_probe matching partition directories."""
+    the n_probe matching partition directories.
+
+    Scale bound for the driver-side centroid collect: n_centroids ≈ √N, so
+    even a 10^12-vector corpus ranks only ~10^6 centroids (≈ a few hundred MB
+    of 256-d doubles — near the driver's comfort limit, hence the guard
+    below). Past that, swap this step for a TakeOrderedAndProject over the
+    centroid table; the probe itself is unchanged."""
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     cent = cat.read(spark, cent_table)
     ranked = cent.select(
         "centroid_id", F.round(cosine_sim(F.col("cvec"), qv), 6).alias("qsim")
-    ).collect()  # tiny: n_centroids rows
+    ).collect()  # tiny by design: n_centroids ≈ √N rows
+    if len(ranked) > 1_000_000:
+        raise ValueError(
+            f"{len(ranked)} centroids is beyond the driver-side ranking bound; "
+            "rank centroids distributively (orderBy(qsim).limit(n_probe)) instead"
+        )
     probe = [
         r["centroid_id"]
         for r in sorted(ranked, key=lambda r: (-r["qsim"], r["centroid_id"]))[:n_probe]

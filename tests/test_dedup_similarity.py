@@ -182,11 +182,45 @@ def test_kmeans_driver_fit_matches_distributed(spark):
         assert driver == dist
 
 
+def test_doc_ivf_rejects_non_canonical_doc_ids(spark, tmp_path):
+    """ensure_doc_ivf must FAIL FAST on doc_ids that don't round-trip
+    CAST(doc_id AS LONG) — such ids would silently vanish in the string
+    rejoin inside _hybrid (recall degrades with no error, round-4 ADVICE)."""
+    import pytest
+
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.plans import search as S
+    from semantic_search_system_spark.session import local_df
+
+    cat = Catalog(str(tmp_path))
+    for bad_id in ("007", "abc"):
+        enr = local_df(
+            spark, [(bad_id, [1.0, 0.0]), ("12", [0.0, 1.0])],
+            "doc_id string, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="canonical"):
+            S.ensure_doc_ivf(spark, cat, enr)
+
+
+def test_doc_ivf_params_scaling():
+    """The index sizing rule is a pure function of corpus size: √N centroids
+    (floored), probe fraction pinned by the recall contract, n_probe never
+    exceeding n_centroids."""
+    from semantic_search_system_spark.plans import search as S
+
+    assert S.doc_ivf_params(0) == (8, 3)
+    assert S.doc_ivf_params(60) == (8, 3)
+    nc, np_ = S.doc_ivf_params(500)
+    assert nc == 22 and np_ == (22 * 3 + 7) // 8
+    nc, np_ = S.doc_ivf_params(10**12)  # 10^12 docs → 10^6 buckets of ~10^6
+    assert nc == 10**6 and np_ == (10**6 * 3 + 7) // 8 and np_ <= nc
+
+
 def test_doc_ivf_search_recall(spark):
     """The ANN search path's recall contract, pinned on the deterministic
-    corpus: the doc-IVF probe at the default n_probe must recover >= 0.8 of
-    the exact cosine top-50 (measured 0.84 at n_probe=3 of 8 — the spec's
-    hashed embeddings cluster weakly, so real models sit above this floor)."""
+    corpus: the doc-IVF probe at the corpus-derived n_probe must recover
+    >= 0.8 of the exact cosine top-50 (the spec's hashed embeddings cluster
+    weakly, so real models sit above this floor)."""
     from pyspark.sql import functions as F
 
     import semantic_search_system_spark.entrypoints as ep
@@ -201,14 +235,14 @@ def test_doc_ivf_search_recall(spark):
     sf = "/root/testdata/sf0.01"
     enr = ensure_enriched(spark, sf, ep.out_root(sf))
     cat = Catalog(ep.out_root(sf))
-    S.ensure_doc_ivf(spark, cat, enr)
+    _, n_probe = S.ensure_doc_ivf(spark, cat, enr)
     _, qvec = S._params(S.QUERY_TEXT)
     vecs = enr.select(F.col("doc_id").cast("long").alias("doc_key"), "embedding")
     exact = {r["doc_key"] for r in brute_force_topk(vecs, qvec, k=50, id_col="doc_key").collect()}
     ann = {
         r["doc_key"]
         for r in ivf_topk_indexed(
-            spark, cat, qvec, k=50, n_probe=S.DOC_IVF_PROBE, id_col="doc_key",
+            spark, cat, qvec, k=50, n_probe=n_probe, id_col="doc_key",
             cent_table=S.DOC_IVF_CENT, assign_table=S.DOC_IVF_ASSIGN,
         ).collect()
     }

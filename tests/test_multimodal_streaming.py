@@ -106,6 +106,59 @@ def test_enrich_stream_multi_epoch_no_data_loss(spark, tmp_root):
     assert streamed.select("doc_id").distinct().count() == 500
 
 
+def test_compact_stream_epochs_preserves_reads_and_resume(spark, tmp_root):
+    """Epoch compaction (round-4 VERDICT #6): folding `<epoch>_<bucket>`
+    partitions into canonical `c<gen>_<bucket>` buckets must (a) leave reads
+    byte-equal, (b) be an idempotent no-op when there is nothing to fold,
+    (c) coexist with checkpoint resume — later stream epochs land in fresh
+    partitions and a second compaction folds them INTO the prior generation —
+    and (d) sweep debris from an interrupted compaction."""
+    import os
+    import shutil
+
+    from semantic_search_system_spark.catalog import Catalog
+
+    src = os.path.join(tmp_root, "in")
+    spark.read.parquet(interleaved_path(SF_SMALL)).repartition(8).write.parquet(src)
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    later = os.path.join(tmp_root, "later")
+    os.makedirs(later)
+    for f in files[4:]:  # hold half the corpus back for the resume leg
+        shutil.move(os.path.join(src, f), os.path.join(later, f))
+
+    out, ckpt = os.path.join(tmp_root, "out"), os.path.join(tmp_root, "ckpt")
+    enrich_stream(spark, src, out, ckpt).awaitTermination(120)
+    cat = Catalog(out)
+
+    def snap(df):
+        return {r["doc_id"]: r["summary"] for r in df.select("doc_id", "summary").collect()}
+
+    pre = snap(cat.read(spark, "enriched_stream"))
+    assert cat.compact_stream_epochs(spark, "enriched_stream")
+    man = cat.manifest("enriched_stream")
+    assert all(k.startswith("c1_") for k in man["partitions"]), man["partitions"].keys()
+    assert snap(cat.read(spark, "enriched_stream")) == pre
+    # idempotent: nothing left to fold
+    assert cat.compact_stream_epochs(spark, "enriched_stream") == {}
+
+    # resume on the same checkpoint: the held-back files arrive as new epochs
+    for f in files[4:]:
+        shutil.move(os.path.join(later, f), os.path.join(src, f))
+    enrich_stream(spark, src, out, ckpt).awaitTermination(120)
+    post = snap(cat.read(spark, "enriched_stream"))
+    assert len(post) == 500 and set(pre).issubset(post)
+
+    # interrupted-compaction debris is swept; gen 2 folds new epochs into gen 1
+    os.makedirs(os.path.join(out, "enriched_stream", "bucket=zzz_9"))
+    os.makedirs(os.path.join(out, "enriched_stream", "_compacting_dead"))
+    assert cat.compact_stream_epochs(spark, "enriched_stream")
+    man = cat.manifest("enriched_stream")
+    assert all(k.startswith("c2_") for k in man["partitions"]), man["partitions"].keys()
+    assert not os.path.exists(os.path.join(out, "enriched_stream", "bucket=zzz_9"))
+    assert not os.path.exists(os.path.join(out, "enriched_stream", "_compacting_dead"))
+    assert snap(cat.read(spark, "enriched_stream")) == post
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_root):
     """applyInPandasWithState sessionizer: streaming the events table as 4
     time-ordered files (4 micro-batches, cross-batch state) must converge to

@@ -162,17 +162,25 @@ def test_ann_search_plan_prunes_cosine_and_buckets(spark):
 
     enr = ensure_enriched(spark, SF_SMALL, ep.out_root(SF_SMALL))
     cat = Catalog(ep.out_root(SF_SMALL))
-    df = S.pro_search_ann(spark, cat, enr)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
-    # bucket-pruned probe: only n_probe of the doc_ivf_assign bucket dirs
-    import re
+    n_centroids, n_probe = S.ensure_doc_ivf(spark, cat, enr)
+    assert n_probe < n_centroids  # the probe must actually prune buckets
+    for df in (
+        S.pro_search_ann(spark, cat, enr),
+        S.pro_search_enhanced_ann(spark, cat, enr),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        # bucket-pruned probe: only n_probe of the doc_ivf_assign bucket dirs
+        import re
 
-    buckets = set(re.findall(r"doc_ivf_assign/bucket=\d+", plan))
-    assert 0 < len(buckets) <= S.DOC_IVF_PROBE, buckets
-    # the cosine HOF (zip_with) appears only on lines that project the probed
-    # index's _v column — never on the enriched-table scan
-    for line in plan.splitlines():
-        if "zip_with" in line.lower():
-            assert "_v#" in line, f"cosine computed outside the index probe: {line[:160]}"
-    assert df.count() == len(df.take(100)) <= 10
+        buckets = set(re.findall(r"doc_ivf_assign/bucket=\d+", plan))
+        assert 0 < len(buckets) <= n_probe, buckets
+        # the cosine HOF (zip_with) appears only on lines that project the
+        # probed index's _v column or the post-window rerank projection
+        # (bounded to k*5 rows) — never on the enriched-table corpus scan
+        for line in plan.splitlines():
+            if "zip_with" in line.lower():
+                assert "_v#" in line or "rerank_score" in line, (
+                    f"cosine computed outside the index probe: {line[:160]}"
+                )
+        assert df.count() == len(df.take(100)) <= 10
