@@ -67,17 +67,17 @@ def _qvec_arr(qvec: list[float]):
 
 # --------------------------------------------------------------- shared scoring
 def _cos_to_query(qvec: list[float]):
-    """round(cosine(embedding, query), 6) with a zero-denominator guard so a
-    zero-norm embedding scores 0.0 instead of NaN — NaN sorts greatest in
-    BOTH engines, so an empty-content doc would otherwise top every semantic
-    ranking; the oracle SQL applies the identical NaN→0 collapse."""
-    emb = F.col("embedding").cast("array<double>")
-    qv = _qvec_arr(qvec)
-    dot = F.aggregate(F.zip_with(emb, qv, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v)
-    nrm = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda s, v: s + v * v))
-    qnrm = F.sqrt(F.aggregate(qv, F.lit(0.0), lambda s, v: s + v * v))
-    denom = nrm * qnrm
-    return F.round(F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)), 6)
+    """round(cosine(embedding, query), 6) — Arrow-vectorized (one numpy
+    matmul per batch; the zip_with/aggregate HOF chain is CodegenFallback,
+    interpreted per element, measured ~8× slower at 256 d). Zero-norm
+    embeddings score 0.0 instead of NaN — NaN sorts greatest in BOTH
+    engines, so an empty-content doc would otherwise top every semantic
+    ranking; the oracle SQL applies the identical NaN→0 collapse, and 6-dp
+    rounding makes matmul and the SQL sequential fold agree exactly
+    (tests/test_plans.py::test_cosine_udf_matches_hof)."""
+    from ..functions.vectors import cosine_to_const_udf
+
+    return cosine_to_const_udf(qvec)(F.col("embedding").cast("array<double>"))
 
 
 def _with_scores(

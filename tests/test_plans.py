@@ -42,6 +42,32 @@ def test_search_path_has_no_global_window(spark):
         assert "Window" not in plan, name  # global windows single-partition at scale
 
 
+def test_cosine_udf_matches_hof(spark):
+    """The Arrow-vectorized cosine (numpy matmul per batch) and the JVM HOF
+    chain (sequential zip_with/aggregate fold) are BIT-IDENTICAL after the
+    6-dp rounding fixpoint on every corpus row — the contract that lets the
+    hot paths use the ~8× faster form while the DuckDB oracle keeps replaying
+    the sequential-fold formula."""
+    from semantic_search_system_spark.functions.vectors import (
+        cosine_sim,
+        cosine_to_const_udf,
+    )
+    from semantic_search_system_spark.plans import search as S
+    from semantic_search_system_spark.plans.pipeline import ensure_enriched
+
+    enr = ensure_enriched(spark, SF_SMALL, ep.out_root(SF_SMALL))
+    _, qvec = S._params(S.QUERY_TEXT)
+    emb = F.col("embedding").cast("array<double>")
+    qv = F.array(*[F.lit(float(x)) for x in qvec])
+    hof = F.round(cosine_sim(emb, qv), 6)
+    vec = cosine_to_const_udf(qvec)(emb)
+    n_diff, n_null = enr.select(
+        F.sum((hof != vec).cast("int")).alias("d"),
+        F.sum(vec.isNull().cast("int")).alias("n"),
+    ).first()
+    assert (n_diff or 0) == 0 and (n_null or 0) == 0
+
+
 def test_extraction_twin_plan_shape(spark):
     plan = _plan(ep.registry()["top5_entities_per_doc"](spark, SF_MED))
     # map-side partial aggregation before the shuffle (A1 at scale)
@@ -164,9 +190,12 @@ def test_ann_search_plan_prunes_cosine_and_buckets(spark):
     cat = Catalog(ep.out_root(SF_SMALL))
     n_centroids, n_probe = S.ensure_doc_ivf(spark, cat, enr)
     assert n_probe < n_centroids  # the probe must actually prune buckets
-    for df in (
-        S.pro_search_ann(spark, cat, enr),
-        S.pro_search_enhanced_ann(spark, cat, enr),
+    # expected Python-UDF stages: pro_ann has ZERO (sem_score is pruned from
+    # the corpus scan, the probe cosine is the JVM HOF); enhanced_ann has
+    # exactly ONE — the rerank cosine applied ABOVE the k*5 TakeOrdered
+    for df, n_arrow in (
+        (S.pro_search_ann(spark, cat, enr), 0),
+        (S.pro_search_enhanced_ann(spark, cat, enr), 1),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
@@ -176,11 +205,12 @@ def test_ann_search_plan_prunes_cosine_and_buckets(spark):
         buckets = set(re.findall(r"doc_ivf_assign/bucket=\d+", plan))
         assert 0 < len(buckets) <= n_probe, buckets
         # the cosine HOF (zip_with) appears only on lines that project the
-        # probed index's _v column or the post-window rerank projection
-        # (bounded to k*5 rows) — never on the enriched-table corpus scan
+        # probed index's _v column — never on the enriched-table corpus scan
         for line in plan.splitlines():
             if "zip_with" in line.lower():
-                assert "_v#" in line or "rerank_score" in line, (
+                assert "_v#" in line, (
                     f"cosine computed outside the index probe: {line[:160]}"
                 )
+        # and no hidden vectorized-UDF cosine on the corpus scan either
+        assert plan.count("ArrowEvalPython") == n_arrow, plan.count("ArrowEvalPython")
         assert df.count() == len(df.take(100)) <= 10
