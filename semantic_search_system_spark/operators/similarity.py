@@ -216,6 +216,7 @@ def build_ivf_index(
     fit_sample_hex: str | None = None,
     cent_table: str = "ivf_centroids",
     assign_table: str = "ivf_assign",
+    lineage: str | None = None,
 ) -> None:
     """Materialize the IVF index through the Catalog: ``ivf_centroids`` (tiny)
     and ``ivf_assign`` PARTITIONED BY centroid id — probes read only matching
@@ -224,12 +225,17 @@ def build_ivf_index(
     resumes by READING BACK the committed centroids (never recomputing them,
     which could produce assignments inconsistent with the stored table). An
     existing index built with different parameters OR a different input
-    (row-count + checksum fingerprint) raises instead of being silently
-    reused."""
+    raises instead of being silently reused.
+
+    ``lineage``: an input-identity string from the SOURCE TABLE'S OWN
+    manifest (snapshot ids — the Iceberg way). When given, the every-call
+    staleness check is a string compare; when None, the identity falls back
+    to ``_input_fingerprint``, which SCANS the input — fine for one-off
+    builds over raw files, wrong to pay per serving-path query at scale."""
     stage = (
         f"ivf_build k={n_centroids} iter={n_iter} "
         f"sample={fit_sample_hex or 'full'} "
-        f"fp={_input_fingerprint(vectors, id_col, vec_col)}"
+        f"fp={lineage or _input_fingerprint(vectors, id_col, vec_col)}"
     )
     if cat.exists(cent_table):
         prior = {m["stage"] for m in cat.metrics(cent_table)}

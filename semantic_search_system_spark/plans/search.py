@@ -414,6 +414,26 @@ def _manifest_n_docs(table_dir: str) -> int | None:
     return sum(e["rows_written"] for e in parts.values()) if parts else None
 
 
+def _manifest_lineage(table_dir: str) -> str | None:
+    """Input-identity string from the source table's manifest: md5 over the
+    sorted (partition, snapshot_id, rows_written) triplets. Any recommit of
+    any partition changes a snapshot id, so a stale index is still detected —
+    WITHOUT the per-query corpus scan `_input_fingerprint` would cost."""
+    import hashlib
+
+    p = os.path.join(table_dir, "_manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        parts = json.load(f)["partitions"]
+    if not parts:
+        return None
+    ident = ";".join(
+        f"{pid}:{e['snapshot_id']}:{e['rows_written']}" for pid, e in sorted(parts.items())
+    )
+    return "man:" + hashlib.md5(ident.encode()).hexdigest()[:16]
+
+
 def _oracle_n_docs(enriched_glob: str) -> int:
     """Corpus size for oracle-SQL generation, from the manifest next to the
     glob's table directory (falling back to parquet footer metadata)."""
@@ -478,6 +498,9 @@ def ensure_doc_ivf(spark: SparkSession, cat, enriched: DataFrame) -> tuple[int, 
         fit_sample_hex=DOC_IVF_FIT_HEX,
         cent_table=DOC_IVF_CENT,
         assign_table=DOC_IVF_ASSIGN,
+        # identity from the enriched manifest's snapshot ids: the
+        # index-freshness check on the SERVING path must not scan the corpus
+        lineage=_manifest_lineage(cat.path("enriched")),
     )
     return n_centroids, n_probe
 
