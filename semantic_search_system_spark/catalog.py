@@ -100,6 +100,22 @@ class Catalog:
             return self._empty(spark, table)
         return spark.read.option("basePath", self.path(table)).parquet(*dirs)
 
+    def read_arrow(self, table: str):
+        """Driver-side pyarrow read of a (small) table's manifest-listed
+        partitions — for driver-sized lookups (e.g. ranking √N centroids per
+        ANN query) that should not launch a distributed job each call."""
+        dirs = [
+            os.path.join(self.path(table), f"{BUCKET_COL}={k}")
+            for k in sorted(self.manifest(table)["partitions"])
+        ]
+        files = [  # pads.dataset accepts a list of FILES, not of directories
+            os.path.join(d, f)
+            for d in dirs
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        return pads.dataset(files, format="parquet").to_table()
+
     def read_buckets(self, spark: SparkSession, table: str, buckets) -> DataFrame:
         """Partition-pruned read: only the named ``bucket=<b>`` directories are
         scanned (the IVF probe path — an n_probe/n_centroids fraction of the

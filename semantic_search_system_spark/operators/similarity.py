@@ -246,9 +246,10 @@ def build_ivf_index(
             )
         if cat.exists(assign_table):
             return
+        tb = cat.read_arrow(cent_table)
         cent_rows = sorted(
-            (int(r["centroid_id"]), list(r["cvec"]))
-            for r in cat.read(spark, cent_table).collect()
+            (int(c), [float(x) for x in v])
+            for c, v in zip(tb["centroid_id"].to_pylist(), tb["cvec"].to_pylist())
         )
     else:
         cent_rows = kmeans_centroids(
@@ -287,26 +288,31 @@ def ivf_topk_indexed(
     Spark so the 6-dp rounding matches the oracle bit-for-bit), then scan only
     the n_probe matching partition directories.
 
-    Scale bound for the driver-side centroid collect: n_centroids ≈ √N, so
-    even a 10^12-vector corpus ranks only ~10^6 centroids (≈ a few hundred MB
-    of 256-d doubles — near the driver's comfort limit, hence the guard
-    below). Past that, swap this step for a TakeOrderedAndProject over the
-    centroid table; the probe itself is unchanged."""
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    cent = cat.read(spark, cent_table)
-    ranked = cent.select(
-        "centroid_id", F.round(cosine_sim(F.col("cvec"), qv), 6).alias("qsim")
-    ).collect()  # tiny by design: n_centroids ≈ √N rows
-    if len(ranked) > 1_000_000:
+    Centroid ranking happens ON THE DRIVER via a pyarrow read of the (tiny)
+    centroid table — one numpy matmul, no Spark job per query. Scale bound:
+    n_centroids ≈ √N, so even a 10^12-vector corpus ranks only ~10^6
+    centroids (≈ a few hundred MB of 256-d doubles — near the driver's
+    comfort limit, hence the guard below). Past that, swap this step for a
+    TakeOrderedAndProject over the centroid table; the probe is unchanged.
+    The 6-dp half-away rounding matches the SQL oracle bit-for-bit (the same
+    fixpoint the k-means itself uses)."""
+    tb = cat.read_arrow(cent_table)
+    if tb.num_rows > 1_000_000:
         raise ValueError(
-            f"{len(ranked)} centroids is beyond the driver-side ranking bound; "
+            f"{tb.num_rows} centroids is beyond the driver-side ranking bound; "
             "rank centroids distributively (orderBy(qsim).limit(n_probe)) instead"
         )
-    probe = [
-        r["centroid_id"]
-        for r in sorted(ranked, key=lambda r: (-r["qsim"], r["centroid_id"]))[:n_probe]
-    ]
+    cids = np.asarray(tb["centroid_id"].to_pylist(), dtype=np.int64)
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in tb["cvec"].to_pylist()])
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    denom = np.linalg.norm(C, axis=1) * np.linalg.norm(q)
+    qsim = _round_half_away(
+        np.where(denom > 0, (C @ q) / np.where(denom == 0, 1.0, denom), 0.0), 6
+    )
+    order = np.lexsort((cids, -qsim))  # (-qsim, centroid_id) ascending
+    probe = [int(c) for c in cids[order[:n_probe]]]
     hits = cat.read_buckets(spark, assign_table, probe)
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         hits.select(id_col, F.round(cosine_sim(F.col("_v"), qv), 6).alias("sim"))
         .orderBy(F.desc("sim"), F.asc(id_col))
