@@ -98,6 +98,7 @@ _PRIORITY = [
     # the ANN variants of search_kb and of the FLAGSHIP enhanced strategy
     # (VERDICT r04 #1/#2/#4) — all three re-evidenced on the new index
     "search_pro_ann", "search_kb_ann", "search_pro_enhanced_ann",
+    "search_advanced_ann",
     # round-4 window rotations: token_budget_pack was REWRITTEN in round 3
     # (two-pass prefix-sum) with only pytest-parity evidence, and
     # hash_sample_stratified never had a driver row (VERDICT r03 'What's
@@ -125,7 +126,7 @@ _PRIORITY = [
     "minhash_lsh_dedup", "simhash_near_dups", "ngram_jaccard_pairs",
     "embedding_near_dup", "exact_dup_groups", "knn_cosine_top10", "ann_ivf_top10",
     # text-analysis / LLM-pipeline ops
-    "top5_entities_per_doc", "top5_topics_per_doc", "keywords_tfidf",
+    "top5_entities_per_doc", "keywords_tfidf",
     "clean_tokenize_docs",
     # graph read path
     "graph_docs_for_topic", "graph_subgraph_collect",
@@ -164,6 +165,9 @@ _TAIL = [
     "max_order_key", "date_range_scan", "join_customer_region",
     "lang_id_heuristic", "span_sequence_invariant", "graph_topics_list",
     "first_order_per_customer",
+    # demoted for search_advanced_ann's window slot: r04-green, and its A1/W3
+    # machinery is exercised in-window by top5_entities_per_doc
+    "top5_topics_per_doc",
     # no-oracle rows-only entries and redundant twins of in-window queries;
     # all unchanged since their round-1 driver rows (spans_kind_counts'
     # interleave evidence is superseded in-window by kg_triples_text_preds,

@@ -2225,5 +2225,16 @@ def _register_search() -> None:
     _REGISTRY["search_pro_enhanced_ann"] = _enh_ann
     _ORACLES["search_pro_enhanced_ann"] = S.pro_search_enhanced_ann_sql(ORACLE_ENRICHED_GLOB)
 
+    # advanced_search's kNN(k*3) branch from the same index — with this, all
+    # four semantic strategies have an index-served variant (simple_search
+    # has no semantic branch)
+    def _adv_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .catalog import Catalog
+
+        return S.advanced_search_ann(spark, Catalog(out_root(sf_dir)), _enriched(spark, sf_dir))
+
+    _REGISTRY["search_advanced_ann"] = _adv_ann
+    _ORACLES["search_advanced_ann"] = S.advanced_search_ann_sql(ORACLE_ENRICHED_GLOB)
+
 
 _register_search()

@@ -218,6 +218,61 @@ def advanced_search(
     )
 
 
+def advanced_search_ann(
+    spark: SparkSession,
+    cat,
+    enriched: DataFrame,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """advanced_search with the kNN(k*3) branch served by the materialized
+    doc-IVF index (the reference serves it from the same HNSW index as every
+    other strategy, search_service.py:92-124): the tiny ANN hit set is
+    broadcast-joined in and ``sem_score`` is never referenced, so Catalyst
+    prunes the per-row cosine out of the corpus scan — only the lexical
+    overlap expressions touch every row. With simple_search having no
+    semantic branch, all four semantic strategies now have an index-served
+    variant; the exact ``advanced_search`` stays as the recall-1.0 twin."""
+    terms, qvec = _params(query_text)
+    sem_hits = _doc_ivf_hits(spark, cat, enriched, qvec, k * 3, n_probe)
+    s = _with_scores(enriched, terms, qvec, fuzziness)
+    hits = sem_hits.select("doc_id", F.col("sim").alias("_ann_sim"))
+    s = s.join(F.broadcast(hits), "doc_id", "left")
+    score = F.round(
+        F.col("title_ov") * 3.0
+        + F.col("summary_ov") * 2.0
+        + F.coalesce(F.col("_ann_sim"), F.lit(0.0)),
+        6,
+    )
+    return (
+        s.withColumn("score", score)
+        .where(F.col("score") > 0)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def advanced_search_ann_sql(
+    enriched_glob: str,
+    query_text: str = QUERY_TEXT,
+    k: int = K,
+    fuzziness: int = FUZZINESS,
+) -> str:
+    terms, qvec = _params(query_text)
+    return f"""
+    {_docs_cte(enriched_glob, terms, qvec, fuzziness)},
+    {_doc_ivf_ann_sql(enriched_glob, qvec, k * 3)}
+    SELECT doc_id, score FROM (
+      SELECT s.doc_id,
+             round(s.title_ov * 3.0 + s.summary_ov * 2.0 + coalesce(ann.ann_sim, 0.0), 6) AS score
+      FROM scored s LEFT JOIN ann USING (doc_id))
+    WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """
+
+
 def advanced_search_sql(
     enriched_glob: str,
     query_text: str = QUERY_TEXT,

@@ -195,6 +195,7 @@ def test_ann_search_plan_prunes_cosine_and_buckets(spark):
     # exactly ONE — the rerank cosine applied ABOVE the k*5 TakeOrdered
     for df, n_arrow in (
         (S.pro_search_ann(spark, cat, enr), 0),
+        (S.advanced_search_ann(spark, cat, enr), 0),
         (S.pro_search_enhanced_ann(spark, cat, enr), 1),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
