@@ -116,7 +116,10 @@ _PRIORITY = [
     # round-3 training-data additions (quality filter / PII / domain mixing /
     # BPE-ish token counting)
     "repetition_3gram_filter", "pii_scrub_audit", "source_mix_sample",
-    "bpe_token_counts", "rolling_hash_fingerprint",
+    "bpe_token_counts",
+    # the north rule's NAMED per-row invariant (span-sequence equality vs the
+    # source table) keeps a fresh driver row every round
+    "span_sequence_invariant",
     # streaming aggregation's batch twin — gained a hash oracle in round 3
     # (hop-aligned window assignment re-derived with epoch arithmetic)
     "sliding_window_metrics",
@@ -163,11 +166,14 @@ _TAIL = [
     # exercising the same helpers (clean_tokenize_docs, graph_docs_for_topic,
     # nation_revenue_rank's window ordering)
     "max_order_key", "date_range_scan", "join_customer_region",
-    "lang_id_heuristic", "span_sequence_invariant", "graph_topics_list",
+    "lang_id_heuristic", "graph_topics_list",
     "first_order_per_customer",
     # demoted for search_advanced_ann's window slot: r04-green, and its A1/W3
     # machinery is exercised in-window by top5_entities_per_doc
     "top5_topics_per_doc",
+    # r04-green; C5/rolling-hash evidence stays in-window via
+    # exact_dup_groups and the round-5 doc_fingerprint rotation
+    "rolling_hash_fingerprint",
     # no-oracle rows-only entries and redundant twins of in-window queries;
     # all unchanged since their round-1 driver rows (spans_kind_counts'
     # interleave evidence is superseded in-window by kg_triples_text_preds,
