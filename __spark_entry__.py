@@ -138,6 +138,10 @@ _PRIORITY = [
     "nation_revenue_rank", "entity_position_backjoin",
 ]
 _TAIL = [
+    # the ANN path's constant-baking proof (round 5): same pro_search_ann
+    # code with different runtime (query_text, k, fuzziness); oracle-checked
+    # by tests/test_oracle_parity.py, queued for a driver row next rotation
+    "search_pro_ann_params",
     # rotated to tail in round 4 to fund the window rotations above; every
     # one is multi-round hash-green (r02+r03) and byte-unchanged this round
     "doc_quality_scores", "media_attrs_per_doc", "json_props_extract",

@@ -2236,5 +2236,19 @@ def _register_search() -> None:
     _REGISTRY["search_advanced_ann"] = _adv_ann
     _ORACLES["search_advanced_ann"] = S.advanced_search_ann_sql(ORACLE_ENRICHED_GLOB)
 
+    # the search_pro_params proof for the ANN path: same code, DIFFERENT
+    # runtime (query_text, k, fuzziness) — the shared index serves a
+    # different probe set and semantic_k, so a constant-baked variant
+    # cannot pass both this and search_pro_ann
+    def _pro_ann_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .catalog import Catalog
+
+        return S.pro_search_ann(
+            spark, Catalog(out_root(sf_dir)), _enriched(spark, sf_dir), **alt
+        )
+
+    _REGISTRY["search_pro_ann_params"] = _pro_ann_params
+    _ORACLES["search_pro_ann_params"] = S.pro_search_ann_sql(ORACLE_ENRICHED_GLOB, **alt)
+
 
 _register_search()
