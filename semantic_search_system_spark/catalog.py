@@ -143,10 +143,25 @@ class Catalog:
         return [b for b in range(n_buckets) if b not in done]
 
     # ------------------------------------------------------------- writes
+    def _compaction_tombstones(self, man: dict) -> set[str]:
+        """Partition keys consumed by a past compaction (every snapshot's
+        ``compacted_from``). A key folded into a ``c<gen>_*`` partition must
+        never be re-committable: a stream that crashed after
+        ``commit_partitions`` but BEFORE its checkpoint recorded the batch
+        will REPLAY that epoch on restart — if compaction ran in between (the
+        'stream stopped' precondition doesn't distinguish a clean stop from a
+        crash), the replayed epoch's keys are gone from ``partitions`` and a
+        plain membership check would commit the rows a second time, doubling
+        every subsequent read."""
+        return {
+            k for s in man.get("snapshots", []) for k in s.get("compacted_from", [])
+        }
+
     def commit_partitions(self, df: DataFrame, table: str, stage: str) -> dict:
         """Write ``df`` (must carry BUCKET_COL) partition-atomically and record
-        lineage + metrics per partition. Partitions already in the manifest are
-        left untouched (idempotent resume)."""
+        lineage + metrics per partition. Partitions already in the manifest —
+        or already folded into a compacted partition (tombstones) — are left
+        untouched (idempotent resume, replay-safe across compaction)."""
         t0 = time.time()
         table_dir = self.path(table)
         os.makedirs(table_dir, exist_ok=True)
@@ -171,13 +186,14 @@ class Catalog:
                 f"full-table replace"
             )
         snapshot_id = uuid.uuid4().hex[:16]
+        tombstones = self._compaction_tombstones(man)
         committed: dict[str, dict] = {}
         for d in sorted(os.listdir(staging)):
             if not d.startswith(f"{BUCKET_COL}="):
                 continue
             bucket = d.split("=", 1)[1]
-            if bucket in man["partitions"]:
-                continue  # checkpointed — never recompute/overwrite a completed partition
+            if bucket in man["partitions"] or bucket in tombstones:
+                continue  # checkpointed (or compacted away) — never recommit
             src, dst = os.path.join(staging, d), os.path.join(table_dir, d)
             if os.path.exists(dst):
                 shutil.rmtree(dst)

@@ -63,19 +63,30 @@ def cosine_sim(a: Column | str, b: Column | str) -> Column:
 def cosine_to_const_udf(query_vec):
     """round(cosine(col, query_vec), 6) as an Arrow-vectorized pandas UDF —
     the scale form of scoring a corpus against ONE query vector (see module
-    docstring). Zero-norm rows score 0.0, mirroring ``cosine_sim``'s
-    denom>0 fallback."""
+    docstring). Degraded rows never crash the batch: zero-norm rows score 0.0
+    (mirroring ``cosine_sim``'s denom>0 fallback), and NULL or
+    wrong-dimension embeddings also score 0.0 — np.stack over a ragged batch
+    would otherwise throw and fail every row in it, where the HOF form it
+    replaces degraded per row."""
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     qn = float(np.linalg.norm(q))
+    dim = len(q)
 
     @F.pandas_udf("double")
     def cos(embs: pd.Series) -> pd.Series:
         if not len(embs):
             return pd.Series([], dtype=np.float64)
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
-        n = np.linalg.norm(M, axis=1)
-        denom = n * qn
-        out = np.where(denom > 0, (M @ q) / np.where(denom == 0, 1.0, denom), 0.0)
+        valid = np.fromiter(
+            (v is not None and len(v) == dim for v in embs), dtype=bool, count=len(embs)
+        )
+        out = np.zeros(len(embs), dtype=np.float64)
+        if valid.any():
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v, ok in zip(embs, valid) if ok]
+            )
+            n = np.linalg.norm(M, axis=1)
+            denom = n * qn
+            out[valid] = np.where(denom > 0, (M @ q) / np.where(denom == 0, 1.0, denom), 0.0)
         return pd.Series(spec.round_half_away(out, 6))
 
     return cos

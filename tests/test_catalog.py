@@ -40,6 +40,33 @@ def test_completed_partitions_never_rewritten(spark, tmp_root, sample):
     assert b0.count() == rows0
 
 
+def test_replayed_epoch_after_compaction_not_recommitted(spark, tmp_root, sample):
+    """The unclean-stop replay hazard (round-5 ADVICE, medium): a stream that
+    crashed after commit_partitions but BEFORE its checkpoint recorded the
+    batch replays that epoch on restart. If compaction ran in between, the
+    epoch's `<epoch>_<bucket>` keys are gone from the manifest's partitions —
+    the keys must survive as tombstones (snapshots' compacted_from) so the
+    replay is skipped, not committed a second time."""
+    cat = Catalog(tmp_root)
+    epoch = sample.withColumn(
+        BUCKET_COL, F.concat_ws("_", F.lit(0), F.col(BUCKET_COL))
+    )
+    cat.commit_partitions(epoch, "es", stage="stream_epoch_0")
+    assert cat.read(spark, "es").count() == 100
+    assert cat.compact_stream_epochs(spark, "es")
+    # the crash-replay: the SAME epoch keys arrive again post-compaction
+    cat.commit_partitions(epoch, "es", stage="stream_epoch_0")
+    back = cat.read(spark, "es")
+    assert back.count() == 100  # not 200 — replay fell on tombstones
+    assert back.select("doc_id").distinct().count() == 100
+    # and a genuinely NEW epoch still lands normally
+    epoch1 = sample.withColumn(
+        BUCKET_COL, F.concat_ws("_", F.lit(1), F.col(BUCKET_COL))
+    ).withColumn("doc_id", F.concat(F.lit("n"), F.col("doc_id")))
+    cat.commit_partitions(epoch1, "es", stage="stream_epoch_1")
+    assert cat.read(spark, "es").count() == 200
+
+
 def test_overwrite_replaces_table(spark, tmp_root, sample):
     """S8 graph-rebuild semantics (knowledge_graph.py:58-107)."""
     cat = Catalog(tmp_root)

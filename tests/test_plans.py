@@ -68,6 +68,28 @@ def test_cosine_udf_matches_hof(spark):
     assert (n_diff or 0) == 0 and (n_null or 0) == 0
 
 
+def test_cosine_udf_degrades_on_null_and_ragged_rows(spark):
+    """A NULL or wrong-dimension embedding must score 0.0, not crash the whole
+    Arrow batch (np.stack over a ragged batch throws) — the HOF form the UDF
+    replaced degraded per ROW, so every exact search strategy must keep
+    working on a corpus with a few malformed rows."""
+    from semantic_search_system_spark.functions.vectors import cosine_to_const_udf
+    from semantic_search_system_spark.session import local_df
+
+    d = local_df(
+        spark,
+        [("a", [1.0, 0.0]), ("b", None), ("c", [1.0, 0.0, 3.0]), ("d", [0.0, 0.0])],
+        "doc_id string, embedding array<double>",
+    )
+    rows = {
+        r["doc_id"]: r["sim"]
+        for r in d.select(
+            "doc_id", cosine_to_const_udf([1.0, 0.0])(F.col("embedding")).alias("sim")
+        ).collect()
+    }
+    assert rows == {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0}
+
+
 def test_extraction_twin_plan_shape(spark):
     plan = _plan(ep.registry()["top5_entities_per_doc"](spark, SF_MED))
     # map-side partial aggregation before the shuffle (A1 at scale)
