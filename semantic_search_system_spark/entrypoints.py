@@ -51,7 +51,12 @@ _CLEAN_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, QueryFn] = {}
-_ORACLES: dict[str, str] = {}
+# values are SQL strings, or zero-arg callables producing one for oracles
+# whose text depends on materialized pipeline state (the doc-IVF replays
+# derive (n_centroids, n_probe) from the enriched table's manifest count —
+# baking that at import time on a fresh out_root would silently diverge
+# from the Spark path, which derives it post-build)
+_ORACLES: dict[str, str | Callable[[], str]] = {}
 
 
 def query(name: str, oracle: str | None = None):
@@ -69,7 +74,9 @@ def registry() -> dict[str, QueryFn]:
 
 
 def oracles() -> dict[str, str]:
-    return dict(_ORACLES)
+    """Materialize the oracle SQL map — lazy entries are generated HERE, at
+    verification time, when the pipeline outputs they parameterize on exist."""
+    return {k: (v() if callable(v) else v) for k, v in _ORACLES.items()}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -2202,7 +2209,7 @@ def _register_search() -> None:
         return S.pro_search_ann(spark, Catalog(out_root(sf_dir)), _enriched(spark, sf_dir))
 
     _REGISTRY["search_pro_ann"] = _pro_ann
-    _ORACLES["search_pro_ann"] = S.pro_search_ann_sql(ORACLE_ENRICHED_GLOB)
+    _ORACLES["search_pro_ann"] = lambda: S.pro_search_ann_sql(ORACLE_ENRICHED_GLOB)
 
     def _kb_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .catalog import Catalog
@@ -2210,7 +2217,7 @@ def _register_search() -> None:
         return S.search_kb_ann(spark, Catalog(out_root(sf_dir)), _enriched(spark, sf_dir))
 
     _REGISTRY["search_kb_ann"] = _kb_ann
-    _ORACLES["search_kb_ann"] = S.search_kb_ann_sql(ORACLE_ENRICHED_GLOB)
+    _ORACLES["search_kb_ann"] = lambda: S.search_kb_ann_sql(ORACLE_ENRICHED_GLOB)
 
     # The reference's FLAGSHIP strategy (main_app.py:42-48 default) served by
     # the doc-IVF index — the last exact-scan interactive path (round-4
@@ -2223,7 +2230,7 @@ def _register_search() -> None:
         )
 
     _REGISTRY["search_pro_enhanced_ann"] = _enh_ann
-    _ORACLES["search_pro_enhanced_ann"] = S.pro_search_enhanced_ann_sql(ORACLE_ENRICHED_GLOB)
+    _ORACLES["search_pro_enhanced_ann"] = lambda: S.pro_search_enhanced_ann_sql(ORACLE_ENRICHED_GLOB)
 
     # advanced_search's kNN(k*3) branch from the same index — with this, all
     # four semantic strategies have an index-served variant (simple_search
@@ -2234,7 +2241,7 @@ def _register_search() -> None:
         return S.advanced_search_ann(spark, Catalog(out_root(sf_dir)), _enriched(spark, sf_dir))
 
     _REGISTRY["search_advanced_ann"] = _adv_ann
-    _ORACLES["search_advanced_ann"] = S.advanced_search_ann_sql(ORACLE_ENRICHED_GLOB)
+    _ORACLES["search_advanced_ann"] = lambda: S.advanced_search_ann_sql(ORACLE_ENRICHED_GLOB)
 
     # the search_pro_params proof for the ANN path: same code, DIFFERENT
     # runtime (query_text, k, fuzziness) — the shared index serves a
@@ -2248,7 +2255,27 @@ def _register_search() -> None:
         )
 
     _REGISTRY["search_pro_ann_params"] = _pro_ann_params
-    _ORACLES["search_pro_ann_params"] = S.pro_search_ann_sql(ORACLE_ENRICHED_GLOB, **alt)
+    _ORACLES["search_pro_ann_params"] = lambda: S.pro_search_ann_sql(ORACLE_ENRICHED_GLOB, **alt)
+
+    # the signal-adaptive escalation's cross-engine proof (round-6): this
+    # query's best centroid cosine is 0.0 < spec.DOC_IVF_SIGNAL_MIN, so BOTH
+    # engines must detect the no-signal regime and probe EVERY bucket (exact
+    # semantics); the benchmark query stays at the contract fraction. A
+    # fixed-probe implementation cannot hash-match this row and
+    # search_pro_ann simultaneously.
+    nosig = {"query_text": "broadcast partition skew"}
+
+    def _pro_ann_nosignal(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .catalog import Catalog
+
+        return S.pro_search_ann(
+            spark, Catalog(out_root(sf_dir)), _enriched(spark, sf_dir), **nosig
+        )
+
+    _REGISTRY["search_pro_ann_nosignal"] = _pro_ann_nosignal
+    _ORACLES["search_pro_ann_nosignal"] = lambda: S.pro_search_ann_sql(
+        ORACLE_ENRICHED_GLOB, **nosig
+    )
 
 
 _register_search()

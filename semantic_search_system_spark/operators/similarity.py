@@ -274,6 +274,35 @@ def build_ivf_index(
         )
 
 
+# interactive-QPS serving cache: (catalog root, centroid table) → the parsed
+# (manifest identity, centroid ids, centroid matrix). Invalidation is by the
+# centroid table's OWN manifest snapshot ids (re-read per query — a tiny local
+# JSON, microseconds), so a rebuilt index is picked up on the next query while
+# steady-state queries never re-read the centroid parquet from disk.
+_CENTROID_CACHE: dict[tuple[str, str], tuple[str, np.ndarray, np.ndarray]] = {}
+
+
+def _centroids_cached(cat, cent_table: str) -> tuple[np.ndarray, np.ndarray]:
+    man = cat.manifest(cent_table)
+    ident = ";".join(
+        f"{pid}:{e['snapshot_id']}" for pid, e in sorted(man["partitions"].items())
+    )
+    key = (cat.root, cent_table)
+    hit = _CENTROID_CACHE.get(key)
+    if hit is not None and hit[0] == ident:
+        return hit[1], hit[2]
+    tb = cat.read_arrow(cent_table)
+    if tb.num_rows > 1_000_000:
+        raise ValueError(
+            f"{tb.num_rows} centroids is beyond the driver-side ranking bound; "
+            "rank centroids distributively (orderBy(qsim).limit(n_probe)) instead"
+        )
+    cids = np.asarray(tb["centroid_id"].to_pylist(), dtype=np.int64)
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in tb["cvec"].to_pylist()])
+    _CENTROID_CACHE[key] = (ident, cids, C)
+    return cids, C
+
+
 def ivf_topk_indexed(
     spark: SparkSession,
     cat,
@@ -283,33 +312,40 @@ def ivf_topk_indexed(
     id_col: str = "vec_id",
     cent_table: str = "ivf_centroids",
     assign_table: str = "ivf_assign",
+    signal_min: float | None = None,
 ) -> DataFrame:
     """ANN top-k against the MATERIALIZED index: rank centroids (computed in
     Spark so the 6-dp rounding matches the oracle bit-for-bit), then scan only
     the n_probe matching partition directories.
 
     Centroid ranking happens ON THE DRIVER via a pyarrow read of the (tiny)
-    centroid table — one numpy matmul, no Spark job per query. Scale bound:
+    centroid table — one numpy matmul, no Spark job per query, and the parsed
+    centroid matrix is MEMOIZED per (catalog, table, manifest snapshot ids)
+    so interactive QPS doesn't re-read the parquet per query (the manifest
+    JSON re-read per query is the staleness check). Scale bound:
     n_centroids ≈ √N, so even a 10^12-vector corpus ranks only ~10^6
     centroids (≈ a few hundred MB of 256-d doubles — near the driver's
-    comfort limit, hence the guard below). Past that, swap this step for a
-    TakeOrderedAndProject over the centroid table; the probe is unchanged.
-    The 6-dp half-away rounding matches the SQL oracle bit-for-bit (the same
-    fixpoint the k-means itself uses)."""
-    tb = cat.read_arrow(cent_table)
-    if tb.num_rows > 1_000_000:
-        raise ValueError(
-            f"{tb.num_rows} centroids is beyond the driver-side ranking bound; "
-            "rank centroids distributively (orderBy(qsim).limit(n_probe)) instead"
-        )
-    cids = np.asarray(tb["centroid_id"].to_pylist(), dtype=np.int64)
-    C = np.stack([np.asarray(v, dtype=np.float64) for v in tb["cvec"].to_pylist()])
+    comfort limit, hence the guard in _centroids_cached). Past that, swap
+    this step for a TakeOrderedAndProject over the centroid table; the probe
+    is unchanged. The 6-dp half-away rounding matches the SQL oracle
+    bit-for-bit (the same fixpoint the k-means itself uses).
+
+    ``signal_min``: signal-adaptive escalation (spec.DOC_IVF_SIGNAL_MIN) —
+    when the BEST rounded centroid cosine is below it, the centroid ranking
+    carries no information for this query (a query near-orthogonal to every
+    centroid has its true neighbors spread uniformly over buckets; measured
+    recall at the contract fraction collapses to ~0.44) and ALL buckets are
+    probed: exact recall at exact-scan cost instead of a silent cliff. The
+    SQL oracle replays the identical rule on the identical rounded values."""
+    cids, C = _centroids_cached(cat, cent_table)
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     denom = np.linalg.norm(C, axis=1) * np.linalg.norm(q)
     qsim = _round_half_away(
         np.where(denom > 0, (C @ q) / np.where(denom == 0, 1.0, denom), 0.0), 6
     )
     order = np.lexsort((cids, -qsim))  # (-qsim, centroid_id) ascending
+    if signal_min is not None and len(qsim) and float(qsim[order[0]]) < signal_min:
+        n_probe = len(cids)
     probe = [int(c) for c in cids[order[:n_probe]]]
     hits = cat.read_buckets(spark, assign_table, probe)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])

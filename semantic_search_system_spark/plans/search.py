@@ -432,22 +432,26 @@ DOC_IVF_FIT_HEX = "80"
 # Index sizing is DERIVED from the corpus, not constant (round-4 VERDICT #1):
 # n_centroids ≈ √N (classic IVF balance: √N buckets of √N vectors each, so
 # both the centroid ranking and one probed bucket stay tiny at any scale),
-# floored so small test corpora still exercise multi-bucket pruning.
-DOC_IVF_MIN_CENTROIDS = 8
-DOC_IVF_MIN_PROBE = 3
+# floored so small test corpora still exercise multi-bucket pruning. The
+# constants live in spec.py beside the other cross-engine fixpoints.
+DOC_IVF_MIN_CENTROIDS = spec.DOC_IVF_MIN_CENTROIDS
+DOC_IVF_MIN_PROBE = spec.DOC_IVF_MIN_PROBE
 # Recall contract (measured vs the exact scan at k=50 —
 # tests/test_dedup_similarity.py::test_doc_ivf_search_recall): probing
 # ceil(3/8) of the centroids recovers ≥ 0.8 of the exact top-50 on the
 # benchmark query, and the margin GROWS with corpus size (0.86 at 500 docs /
-# 22 centroids / 9 probes; 0.94 at 5,000 docs / 70 / 27). Per-query it is a
-# distribution — 0.44-0.92 (mean 0.784) over a deterministic 5-query panel
-# at sf0.01, also pinned by the test. The spec's hashed embeddings are
+# 22 centroids / 9 probes; 0.94 at 5,000 docs / 70 / 27). Per-query, with
+# the signal-adaptive escalation (spec.DOC_IVF_SIGNAL_MIN — a query whose
+# best centroid cosine is under the threshold probes ALL buckets, because
+# the centroid ranking demonstrably carries no signal for it), the
+# deterministic 5-query panel at sf0.01 measures 0.84-1.00 (mean ≥ 0.85),
+# pinned per-query AND in mean by the test. The spec's hashed embeddings are
 # near-orthogonal and cluster weakly — the adversarial floor: they force a
 # CONSTANT probe fraction to hold recall. Realistically-clustered embeddings
 # concentrate the top-k in O(1) buckets, so n_probe would be a small constant
 # and the scanned fraction n_probe/√N → 0 with scale; the fraction below is
 # the contract-keeping worst case, not the expected cost.
-DOC_IVF_PROBE_FRAC = (3, 8)
+DOC_IVF_PROBE_FRAC = spec.DOC_IVF_PROBE_FRAC
 
 
 def doc_ivf_params(n_docs: int) -> tuple[int, int]:
@@ -493,7 +497,12 @@ def _manifest_lineage(table_dir: str) -> str | None:
 
 def _oracle_n_docs(enriched_glob: str) -> int:
     """Corpus size for oracle-SQL generation, from the manifest next to the
-    glob's table directory (falling back to parquet footer metadata)."""
+    glob's table directory (falling back to parquet footer metadata). Raises
+    when NEITHER exists: silently returning 0 would bake the floor params
+    (8, 3) into the oracle while the Spark path derives them from the
+    post-build manifest — a silent divergence once isqrt(N) > 8. Callers
+    generate this SQL lazily (entrypoints.oracles()), after the enriched
+    table has been materialized."""
     table_dir = enriched_glob.split("/bucket=")[0]
     n = _manifest_n_docs(table_dir)
     if n is not None:
@@ -502,7 +511,14 @@ def _oracle_n_docs(enriched_glob: str) -> int:
 
     import pyarrow.parquet as pq
 
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in _glob.glob(enriched_glob))
+    files = _glob.glob(enriched_glob)
+    if not files:
+        raise FileNotFoundError(
+            f"doc-IVF oracle SQL needs the enriched corpus size, but neither "
+            f"a manifest nor parquet files exist under {table_dir} — build "
+            f"the enriched table first (plans.pipeline.ensure_enriched)"
+        )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def ensure_doc_ivf(spark: SparkSession, cat, enriched: DataFrame) -> tuple[int, int]:
@@ -585,6 +601,7 @@ def _doc_ivf_hits(
         id_col="doc_key",
         cent_table=DOC_IVF_CENT,
         assign_table=DOC_IVF_ASSIGN,
+        signal_min=spec.DOC_IVF_SIGNAL_MIN,
     ).select(F.col("doc_key").cast("string").alias("doc_id"), "sim")
 
 
@@ -661,10 +678,20 @@ def _doc_ivf_ann_sql(enriched_glob: str, qvec: list[float], semantic_k: int) -> 
         ctes.append(assign(f"c{t}", f"fa{t}", "fs"))
         ctes.append(update(f"fa{t}", f"c{t + 1}"))
     ctes.append(assign(f"c{DOC_IVF_ITER}", "af", "ev"))
+    # signal-adaptive probe set (see similarity.ivf_topk_indexed): the top
+    # n_probe centroids by rounded query cosine — or ALL of them when the
+    # best cosine is under spec.DOC_IVF_SIGNAL_MIN (the ranking carries no
+    # signal for this query). max() is order-insensitive, so qmax is exact
+    # across engines; rn and the comparison run on the same rounded doubles.
+    ctes.append(
+        f"csim AS (SELECT c.centroid_id, {_cos_nan0_sql('c.cvec', qs)} AS qsim "
+        f"FROM c{DOC_IVF_ITER} c)"
+    )
     ctes.append(
         f"probed AS (SELECT centroid_id FROM ("
-        f"SELECT c.centroid_id, {_cos_nan0_sql('c.cvec', qs)} AS qsim "
-        f"FROM c{DOC_IVF_ITER} c ORDER BY qsim DESC, centroid_id ASC LIMIT {n_probe}))"
+        f"SELECT centroid_id, row_number() OVER (ORDER BY qsim DESC, centroid_id ASC) AS rn, "
+        f"max(qsim) OVER () AS qmax FROM csim) "
+        f"WHERE rn <= {n_probe} OR qmax < {spec.DOC_IVF_SIGNAL_MIN!r})"
     )
     ctes.append(
         f"ann AS (SELECT CAST(a.vec_id AS VARCHAR) AS doc_id, "

@@ -53,6 +53,28 @@ EMBED_DIM = 256             # utils/bedrock.py:41 — Titan 256-d, L2-normalized
 PHRASE_SIM_THRESHOLD = 0.60  # cosine cut for phrase-cluster edges (topic_modeling.py:31-36)
 SIM_NDIGITS = 6              # every engine rounds cosines to 6dp BEFORE thresholding
 
+# ---------------------------------------------------------------- doc-IVF serving
+# Cross-engine constants of the ANN serving path (plans/search.py builds the
+# index, the DuckDB oracle replays it; both derive the SAME values from the
+# SAME manifest count — see plans/search.doc_ivf_params). They live here, with
+# the other cross-engine fixpoints, as the single source of truth.
+DOC_IVF_MIN_CENTROIDS = 8    # floor so small test corpora still multi-bucket
+DOC_IVF_MIN_PROBE = 3
+DOC_IVF_PROBE_FRAC = (3, 8)  # probe ceil(3/8 · n_centroids) — recall contract
+# Signal-adaptive escalation: when round(max centroid·query cosine, 6) is
+# below this, the centroid ranking carries NO information for the query (the
+# query is near-orthogonal to every centroid — measured on the panel: such a
+# query's recall at the contract fraction collapses to ~0.44 because its true
+# neighbors spread uniformly over buckets) and the probe escalates to ALL
+# buckets: exact recall at exact-scan cost, instead of a silent recall
+# cliff. Cumulative-mass probing (probe until Σ qsim ≥ τ) was measured WORSE
+# here: a degenerate query concentrates its tiny positive mass in 1 centroid,
+# so the mass rule selects 1 probe exactly when it should select many.
+# In-distribution queries sit far above this threshold (0.16-0.43 on the
+# panel vs 0.0 for the degenerate query), so the escalation never fires on
+# the hot path; real embedding models separate the two regimes even further.
+DOC_IVF_SIGNAL_MIN = 0.1
+
 
 def round_half_away(x, ndigits: int = SIM_NDIGITS):
     """Round half AWAY from zero, matching Spark F.round and DuckDB round()
