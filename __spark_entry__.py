@@ -99,18 +99,22 @@ _PRIORITY = [
     # (VERDICT r04 #1/#2/#4) — all three re-evidenced on the new index
     "search_pro_ann", "search_kb_ann", "search_pro_enhanced_ann",
     "search_advanced_ann",
+    # round-6 promotions: the ANN path's constant-baking proof (same
+    # pro_search_ann code, different runtime query/k/fuzziness — VERDICT r05
+    # #2) and the signal-adaptive escalation's cross-engine proof (a query
+    # with no centroid signal must probe EVERY bucket in both engines)
+    "search_pro_ann_params", "search_pro_ann_nosignal",
     # round-4 window rotations: token_budget_pack was REWRITTEN in round 3
     # (two-pass prefix-sum) with only pytest-parity evidence, and
     # hash_sample_stratified never had a driver row (VERDICT r03 'What's
     # missing' #2) — both have full hash oracles
     "token_budget_pack", "hash_sample_stratified",
-    # round-5 freshness rotation (VERDICT r04 #5): clean-/tokenize-dependent
-    # tail queries whose last driver rows (r01-r02) predate the round-4
-    # whitespace-class change — rotated in so the shared cleaning helpers get
-    # driver-recorded evidence on current code (pytest's 80-oracle replay
-    # already covers them, but driver rows are the contract)
-    "doc_fingerprint", "fuzzy_nation_pairs", "month_windows",
-    "sessionize_users", "doc_triples_sql",
+    # round-6 freshness rotation (VERDICT r05 #5): tail queries whose last
+    # driver rows are r01-r03 — rotated in for driver-recorded evidence on
+    # current code (pytest's 79-oracle replay already covers them, but
+    # driver rows are the contract)
+    "json_props_extract", "change_detection_fullouter", "semi_anti_customers",
+    "minmax_normalize_orders", "centroid_per_label",
     # round-2 additions
     "quarantine_failed_rows", "lemma_token_counts",
     # round-3 training-data additions (quality filter / PII / domain mixing /
@@ -120,13 +124,10 @@ _PRIORITY = [
     # the north rule's NAMED per-row invariant (span-sequence equality vs the
     # source table) keeps a fresh driver row every round
     "span_sequence_invariant",
-    # streaming aggregation's batch twin — gained a hash oracle in round 3
-    # (hop-aligned window assignment re-derived with epoch arithmetic)
-    "sliding_window_metrics",
     # dedup / similarity family (graded as first-class) — simhash gained a
     # hash oracle in round 3 (brute-force pairs over SQL-derived fingerprints;
     # valid because banding has proven recall 1.0 at the radius)
-    "minhash_lsh_dedup", "simhash_near_dups", "ngram_jaccard_pairs",
+    "minhash_lsh_dedup", "simhash_near_dups",
     "embedding_near_dup", "exact_dup_groups", "knn_cosine_top10", "ann_ivf_top10",
     # text-analysis / LLM-pipeline ops
     "top5_entities_per_doc", "keywords_tfidf",
@@ -138,23 +139,22 @@ _PRIORITY = [
     "nation_revenue_rank", "entity_position_backjoin",
 ]
 _TAIL = [
-    # the ANN path's constant-baking proof (round 5): same pro_search_ann
-    # code with different runtime (query_text, k, fuzziness); oracle-checked
-    # by tests/test_oracle_parity.py, queued for a driver row next rotation
-    "search_pro_ann_params",
+    # round-6 demotions funding the promotions above: all five got fresh
+    # hash-green driver rows in round 5 on code unchanged since
+    "doc_fingerprint", "fuzzy_nation_pairs", "month_windows",
+    "sessionize_users", "doc_triples_sql",
+    # r05-green; the dedup family keeps four hash rows in-window and the
+    # streaming window arithmetic is unchanged since its r05 row
+    "ngram_jaccard_pairs", "sliding_window_metrics",
     # rotated to tail in round 4 to fund the window rotations above; every
     # one is multi-round hash-green (r02+r03) and byte-unchanged this round
-    "doc_quality_scores", "media_attrs_per_doc", "json_props_extract",
-    "change_detection_fullouter", "decontaminate_vs_holdout", "semi_anti_customers",
+    "doc_quality_scores", "media_attrs_per_doc",
+    "decontaminate_vs_holdout",
     # moved to tail (round 3) to keep the 50-query window when
     # search_pro_params and the four training-data queries entered; all
-    # unchanged since their green r02 rows (minmax's W1/C13 evidence also
-    # lives in-window via search_kb's [1,100] normalization)
+    # unchanged since their green r02 rows
     "bucketed_colocated_join", "events_pivot_manual",
-    "order_price_quantiles", "minmax_normalize_orders",
-    # A4 centroid math is now also hash-evidenced by ann_ivf_top10's k-means
-    # oracle; this twin was green in r01 and is unchanged
-    "centroid_per_label",
+    "order_price_quantiles",
     # moved to tail in round 3 to make room for new hash-oracle rows; all
     # unchanged since their green r02 rows (C5 md5 evidence also lives
     # in-window via exact_dup_groups; A2/O5 via graph_subgraph_collect)

@@ -147,6 +147,7 @@ def run_pipeline_once(cpus: int, sf_dir: str, amp: int, master: str | None = Non
         t_graph = time.time() - t3
         total = time.time() - t0  # pipeline done at graph commit; the counts
         n_triples = tr.count()  # below are bench bookkeeping, not pipeline work
+        total_incl_count = time.time() - t0
         n_docs = docs.count()
         return {
             "cpus": cpus,
@@ -159,6 +160,10 @@ def run_pipeline_once(cpus: int, sf_dir: str, amp: int, master: str | None = Non
             "graph_sec": round(t_graph, 2),
             "total_sec": round(total, 2),
             "triples_per_sec": round(n_triples / total, 1),
+            # the pre-round-5 metric definition (count scan inside the timed
+            # window) — reported alongside so the cross-round throughput
+            # series stays apples-to-apples (round-5 ADVICE #4)
+            "triples_per_sec_incl_count": round(n_triples / total_incl_count, 1),
             "docs_per_sec": round(n_docs / total, 1),
         }
     finally:
@@ -199,6 +204,10 @@ HEADLINE_QUERIES = [
     "search_pro_ann",
     "search_pro_enhanced",
     "search_pro_enhanced_ann",
+    # every interactive strategy the engine serves from the doc-IVF index is
+    # timed (round-5 VERDICT 'What's missing' #1)
+    "search_kb_ann",
+    "search_advanced_ann",
     "spans_kind_counts",
 ]
 
@@ -239,17 +248,19 @@ def default_bench(sf_dir: str, cpus: int) -> None:
     finally:
         shutil.rmtree(build_dir, ignore_errors=True)
 
+    # best-of-3 per query with the draw spread recorded: single-draw rows on
+    # this VM span 1.4-2.9 s for the same plan (BENCH/DRIFT analysis), so
+    # round-over-round deltas need min + spread to be signal, not draws
+    # (round-5 VERDICT #3)
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE_QUERIES:
-        # best-of-2 per query, matching the pipeline measurement: this VM has
-        # ±2x run-to-run noise and min wall-clock is the closest estimate of
-        # true capability under noisy neighbors
-        best = None
-        for _ in range(2):
+        times = []
+        for _ in range(3):
             t0 = time.time()
             reg[name](spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        queries[name] = round(best, 3)
+            times.append(time.time() - t0)
+        queries[name] = round(min(times), 3)
+        spread[name] = [round(t, 3) for t in sorted(times)]
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     result = {
@@ -257,10 +268,12 @@ def default_bench(sf_dir: str, cpus: int) -> None:
         "value": round(sum(queries.values()), 2),
         "unit": "sec",
         "queries": queries,
+        "query_spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "docs": pipe["docs"],
         "triples": pipe["triples"],
         "triples_per_sec": pipe["triples_per_sec"],
+        "triples_per_sec_incl_count": pipe["triples_per_sec_incl_count"],
         "cpus": cpus,
     }
     print(json.dumps(result))
@@ -329,6 +342,15 @@ Same input for both runs; each run is a fresh JVM via `local[N]`
 **Scaling efficiency (N→4N)** = throughput(4N) / (4 × throughput(N)) =
 {r32["triples_per_sec"]:,} / (4 × {r8["triples_per_sec"]:,}) = **{efficiency:.3f}**
 (target ≥ 0.8, BASELINE.json.north_rule).
+
+Metric definition: the timed window ends at the graph commit (the pipeline's
+last write); the triple count is read back afterwards, since build_triples
+already catalog-committed the rows. Under the PRE-round-5 definition (count
+scan inside the window) the same best runs measure
+{r8.get("triples_per_sec_incl_count", r8["triples_per_sec"]):,} /
+{r32.get("triples_per_sec_incl_count", r32["triples_per_sec"]):,} triples/sec
+(local[{n_low}] / local[{n_high}]) — both are reported so the cross-round
+throughput series stays apples-to-apples (round-5 ADVICE).
 
 **Machine-ceiling-normalized efficiency = {normalized:.3f}.** A pure-CPU,
 zero-I/O, zero-Python Spark job (chained sha2 over 64 partitions, fresh JVMs,
