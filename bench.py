@@ -417,8 +417,14 @@ raw and ceiling-normalized efficiency as measured that round):
   223.2k / 105.4k raw 0.530 normalized 1.044 (ceiling 2.03×) and
   216.3k / 102.0k raw 0.530 normalized 0.957 (ceiling 2.22×) — raw
   IDENTICAL across draws, the first time the ratio has been stable
-Absolute local[4] throughput rose every round (98.3k → 151.1k → 209.8k →
-223.2k). The per-round raw ratios swing with the box: the ceiling probe
+- round 6 (nodes+edges commits overlapped on two driver threads): 210.0k /
+  92.9k, raw 0.565 normalized 1.017 (ceiling 2.22×) — triples 2.33× and
+  graph 2.78× per-stage (1.84×/1.92× in round 5): the graph stage now pays
+  its commit floor once and scales ABOVE the pure-CPU ceiling
+Absolute local[4] throughput rose every round through round 5 (98.3k →
+151.1k → 209.8k → 223.2k; round 6 drew 210.0k on a slower box session —
+within the documented ±0.15 draw band, with the best-ever raw ratio).
+The per-round raw ratios swing with the box: the ceiling probe
 itself varies 2.0-2.8× between sessions, and single-host ratios carry ±0.15
 of VM noise — the per-stage scaling table above and the plan-shape
 properties below, not this shared bus, are the cluster-scaling evidence.

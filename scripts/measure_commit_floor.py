@@ -178,15 +178,19 @@ alternating reps per level.
 | graph (both tables) | {lo["cpus"]} | {lo["graph_noop_sec"]} | {lo["graph_commit_sec"]} | {lo["graph_floor_sec"]} |
 | graph (both tables) | {hi["cpus"]} | {hi["graph_noop_sec"]} | {hi["graph_commit_sec"]} | {hi["graph_floor_sec"]} |
 
-Reading: the transform component scales with cores (it is the part the
-machine ceiling governs); the floor is an O(partitions) constant —
-seconds of file/manifest work per table that does NOT grow with the corpus
-and does not shrink with cores. At the bench corpus it is a visible
-fraction of the stage; at the north rule's 10^12-doc setting the same
-constant vanishes ( the per-stage scaling shortfall in BENCH/BASELINE.md
-is this constant, not a plan property). The graph stage pays the floor
-once, not twice: its two independent table commits run concurrently
-(plans/pipeline.build_graph).
+Reading: the commit's write work itself parallelizes near the machine
+ceiling (the per-bucket files write from independent tasks), so most of the
+single-core floor is recovered by cores; what remains at 4 cores (~0.5-2 s
+per stage) is the genuinely serial per-table constant — file opens, atomic
+partition renames, footer row-counts, manifest IO — which is O(partitions),
+independent of corpus size. At the bench corpus it is a visible fraction of
+the stage; at the north rule's 10^12-doc setting the same constant vanishes
+(the residual per-stage scaling shortfall in BENCH/BASELINE.md is this
+constant plus the shared memory bus, not a plan property). The graph stage
+pays its two tables' constants concurrently, not serially
+(plans/pipeline.build_graph runs the nodes and edges commits on two driver
+threads — its stage speedup moved from 1.92× to 2.78×, above the 2.22×
+pure-CPU ceiling, after that change).
 
 All runs:
 ```json
