@@ -785,18 +785,103 @@ def _expansion_terms(enriched: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+# Materialized corpus statistic backing the SERVED expansion (the ANN
+# variants): the global entity-frequency top-K. Expansion is query-dependent
+# only through the EXCLUSION of query terms, so the top (3 + |terms|) global
+# rows always contain the top-3 after exclusion — K=100 covers any sane
+# query length (guarded below). Like the doc-IVF index, it is built once
+# beside the enriched table with manifest lineage in its stage string and
+# read driver-side (vocabulary-truncated: K rows at ANY corpus scale).
+ENTITY_FREQ_TABLE = "entity_freq_topk"
+ENTITY_FREQ_K = 100
+_EXP_CACHE: dict[tuple[str, str], tuple[str, list[tuple[str, int]]]] = {}
+
+
+def ensure_entity_freq(spark: SparkSession, cat, enriched: DataFrame) -> None:
+    """Materialize (idempotently) the top-ENTITY_FREQ_K corpus-frequent
+    entity tokens — ONE aggregation at build time instead of a full-corpus
+    explode + groupBy per pro_search_enhanced_ann query (at 10^12 docs the
+    per-query aggregate is a corpus scan; this is a 100-row table). The
+    stage string carries the enriched manifest's snapshot lineage, so a
+    recommitted corpus raises instead of serving stale frequencies."""
+    lineage = _manifest_lineage(cat.path("enriched"))
+    stage = f"entity_freq k={ENTITY_FREQ_K} fp={lineage}"
+    if cat.exists(ENTITY_FREQ_TABLE):
+        prior = {m["stage"] for m in cat.metrics(ENTITY_FREQ_TABLE)}
+        if prior and prior != {stage}:
+            raise ValueError(
+                f"out_root holds an entity_freq table built with {sorted(prior)}; "
+                f"requested '{stage}' — delete {ENTITY_FREQ_TABLE} to rebuild"
+            )
+        return
+    top = (
+        enriched.select(
+            F.explode(F.transform("entities", lambda e: e["text"])).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(ENTITY_FREQ_K)
+    )
+    cat.commit_partitions(
+        top.coalesce(1).withColumn("bucket", F.lit(0)), ENTITY_FREQ_TABLE, stage=stage
+    )
+
+
+def _expansion_terms_served(cat, terms: list[str]) -> list[str]:
+    """Top-3 expansion terms from the materialized frequency table — a
+    driver-side lookup memoized by manifest snapshot ids (the centroid-cache
+    pattern), bit-identical to ``_expansion_terms`` over the same corpus
+    because the (n desc, term asc) global order is total and exclusion can
+    only consume |terms| of the K materialized rows."""
+    if len(terms) + 3 > ENTITY_FREQ_K:
+        raise ValueError(f"query has too many terms for the {ENTITY_FREQ_K}-row stats")
+    man = cat.manifest(ENTITY_FREQ_TABLE)
+    ident = ";".join(
+        f"{pid}:{e['snapshot_id']}" for pid, e in sorted(man["partitions"].items())
+    )
+    key = (cat.root, ENTITY_FREQ_TABLE)
+    hit = _EXP_CACHE.get(key)
+    if hit is not None and hit[0] == ident:
+        rows = hit[1]
+    else:
+        tb = cat.read_arrow(ENTITY_FREQ_TABLE)
+        rows = sorted(
+            zip(tb["term"].to_pylist(), tb["n"].to_pylist()),
+            key=lambda r: (-r[1], r[0]),
+        )
+        _EXP_CACHE[key] = (ident, rows)
+    out = [t for t, _ in rows if t not in set(terms)]
+    return out[:3]
+
+
 def _enhanced_tail(
-    fused: DataFrame, enriched: DataFrame, terms: list[str], qvec: list[float], k: int
+    fused: DataFrame,
+    enriched: DataFrame,
+    terms: list[str],
+    qvec: list[float],
+    k: int,
+    exp_terms: list[str] | None = None,
 ) -> DataFrame:
     """pro_search_enhanced's boost → window → rerank tail, shared by the
     exact and ANN-served variants. The rerank cosine is (re)computed from the
     embedding column ON THE k*5 WINDOW ROWS ONLY — referencing the pre-window
     ``sem_score`` column instead would drag the per-row cosine back onto the
-    full corpus scan in the ANN variant, undoing the index probe."""
-    exp = _expansion_terms(enriched, terms).select(F.collect_list("term").alias("exp_terms"))
-    fused = fused.crossJoin(F.broadcast(exp))
+    full corpus scan in the ANN variant, undoing the index probe.
+
+    ``exp_terms``: pre-resolved expansion terms (the served path —
+    ``_expansion_terms_served``); None derives them from the corpus in-plan
+    (the exact twin's self-contained derivation)."""
+    if exp_terms is None:
+        exp = _expansion_terms(enriched, terms).select(
+            F.collect_list("term").alias("exp_terms")
+        )
+        fused = fused.crossJoin(F.broadcast(exp))
+        exp_col = F.col("exp_terms")
+    else:  # cast covers the empty-corpus [] literal (array<null> otherwise)
+        exp_col = F.array(*[F.lit(t) for t in exp_terms]).cast("array<string>")
     exp_ov = F.size(
-        F.array_intersect(F.split(F.col("content"), " "), F.col("exp_terms"))
+        F.array_intersect(F.split(F.col("content"), " "), exp_col)
     ).cast("double")
     boosted = F.round(F.col("score") * 1.0 + exp_ov * 0.5, 6)
     # rerank window selection via TakeOrderedAndProject, not a global window
@@ -844,15 +929,21 @@ def pro_search_enhanced_ann(
     """The reference's FLAGSHIP strategy (main_app.py:42-48 default,
     HNSW-served at search_service.py:259-261) with the semantic branch probing
     the materialized doc-IVF index — the last exact-scan interactive path
-    (round-4 VERDICT #2). Expansion, boost, rerank are unchanged; only the
-    semantic candidate set comes from the index probe, and the rerank cosine
-    runs on the k*5 window rows, so no per-row cosine touches the corpus
-    scan. The exact ``pro_search_enhanced`` stays as the recall-1.0 twin."""
+    (round-4 VERDICT #2). Expansion, boost, rerank are semantically
+    unchanged; the semantic candidate set comes from the index probe, the
+    rerank cosine runs on the k*5 window rows, and the expansion terms come
+    from the materialized ``entity_freq_topk`` statistic (one 100-row
+    driver lookup instead of a full-corpus explode + aggregate PER QUERY —
+    bit-identical to the in-plan derivation, which the DuckDB oracle still
+    performs). The exact ``pro_search_enhanced`` stays as the recall-1.0,
+    self-derived twin."""
     terms, qvec = _params(query_text)
     semantic_k = max(5 * k, 50)
     sem_hits = _doc_ivf_hits(spark, cat, enriched, qvec, semantic_k, n_probe)
+    ensure_entity_freq(spark, cat, enriched)
+    exp_terms = _expansion_terms_served(cat, terms)
     fused = _hybrid(enriched, semantic_k, terms, qvec, fuzziness, sem_hits=sem_hits)
-    return _enhanced_tail(fused, enriched, terms, qvec, k)
+    return _enhanced_tail(fused, enriched, terms, qvec, k, exp_terms=exp_terms)
 
 
 def _enhanced_tail_sql(terms: list[str], k: int) -> str:

@@ -197,6 +197,28 @@ def test_search_plans_have_no_global_window(spark):
         assert "TakeOrderedAndProject" in plan, fn.__name__
 
 
+def test_served_expansion_matches_derived(spark):
+    """The materialized entity-frequency statistic must yield BIT-IDENTICAL
+    expansion terms to the in-plan corpus derivation (the DuckDB oracle keeps
+    deriving them from docs, so any divergence would hash-fail
+    search_pro_enhanced_ann): exclusion consumes at most |terms| of the K
+    materialized rows, and the (n desc, term asc) order is total."""
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.plans import search as S
+    from semantic_search_system_spark.plans.pipeline import ensure_enriched
+
+    enr = ensure_enriched(spark, SF_MED, ep.out_root(SF_MED))
+    cat = Catalog(ep.out_root(SF_MED))
+    S.ensure_entity_freq(spark, cat, enr)
+    for qt in (S.QUERY_TEXT, "filter stream graph", "zzz unseen terms"):
+        terms, _ = S._params(qt)
+        derived = [r["term"] for r in S._expansion_terms(enr, terms).collect()]
+        assert S._expansion_terms_served(cat, terms) == derived, qt
+    # second lookup is memoized (no parquet re-read): drop the cache entry
+    # guard by checking the cache is populated with the manifest identity
+    assert (cat.root, S.ENTITY_FREQ_TABLE) in S._EXP_CACHE
+
+
 def test_ann_search_plan_prunes_cosine_and_buckets(spark):
     """search_pro_ann's scale contract: the full-corpus enriched scan must
     carry NO per-row cosine (Catalyst prunes sem_score once the ANN hits are
@@ -236,4 +258,8 @@ def test_ann_search_plan_prunes_cosine_and_buckets(spark):
                 )
         # and no hidden vectorized-UDF cosine on the corpus scan either
         assert plan.count("ArrowEvalPython") == n_arrow, plan.count("ArrowEvalPython")
+        if n_arrow == 1:  # enhanced_ann: expansion is SERVED from the
+            # materialized entity_freq_topk statistic — no explode+aggregate
+            # over the corpus per query (Generate = Spark's explode node)
+            assert "Generate" not in plan
         assert df.count() == len(df.take(100)) <= 10
