@@ -134,9 +134,11 @@ _PRIORITY = [
     "clean_tokenize_docs",
     # graph read path
     "graph_docs_for_topic", "graph_subgraph_collect",
+    # NEW round 6: entity co-occurrence edges — per-row pair generation (no
+    # self-join) vs the oracle's independent self-join derivation
+    "entity_cooccurrence",
     # core relational operators
-    "pricing_summary",
-    "nation_revenue_rank", "entity_position_backjoin",
+    "pricing_summary", "entity_position_backjoin",
 ]
 _TAIL = [
     # round-6 demotions funding the promotions above: all five got fresh
@@ -146,6 +148,10 @@ _TAIL = [
     # r05-green; the dedup family keeps four hash rows in-window and the
     # streaming window arithmetic is unchanged since its r05 row
     "ngram_jaccard_pairs", "sliding_window_metrics",
+    # r05-green; its W2 rank-window evidence also lives in-window via
+    # keywords_tfidf and top5_entities_per_doc — demoted for
+    # entity_cooccurrence's slot
+    "nation_revenue_rank",
     # rotated to tail in round 4 to fund the window rotations above; every
     # one is multi-round hash-green (r02+r03) and byte-unchanged this round
     "doc_quality_scores", "media_attrs_per_doc",

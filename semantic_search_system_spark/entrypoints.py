@@ -1669,6 +1669,51 @@ def kg_topic_map_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read(spark, "topic_map").select("phrase_norm")
 
 
+@query(
+    "entity_cooccurrence",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, unnest(list_transform(entities, x -> x.text)) AS term
+      FROM read_parquet('{ORACLE_ENRICHED_GLOB}'))
+    SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n_docs
+    FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY a.term, b.term
+    ORDER BY n_docs DESC, term_a ASC, term_b ASC LIMIT 100
+    """,
+)
+def entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence edges (top-100 by doc count): the KG
+    consolidation step the reference's Neo4j model implies (entities sharing
+    a document are related — knowledge_graph.py's MERGE-per-pair loop
+    generalized). Spark-first shape: pairs are generated PER ROW from the
+    5-element entity array (a < b inside an array HOF over a bound column —
+    no self-join, so the exploded table is never shuffled twice; the only
+    shuffle is the map-side-combinable pair count). The oracle takes the
+    self-join formulation — two independent derivations of the same edges.
+    Entities are per-doc distinct by the extraction spec, so count(*) is the
+    number of CO-MENTIONING DOCUMENTS."""
+    enr = _enriched(spark, sf_dir)
+    d = enr.withColumn("_ents", F.transform("entities", lambda e: e["text"]))
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "_ents",
+                lambda a: F.transform(
+                    "_ents", lambda b: F.struct(a.alias("a"), b.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
+    return (
+        d.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("term_a"), F.asc("term_b"))
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hash-grade oracles for the full-pipeline graph outputs (queries registered in
 # __spark_entry__.py via _pipeline_query). Only the CC LABELS are iterative:

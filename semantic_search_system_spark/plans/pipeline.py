@@ -200,6 +200,31 @@ def build_topic_map(
 
 
 # --------------------------------------------------------------------- stage 3
+def mention_topic_triples(enriched_part: DataFrame) -> DataFrame:
+    """MENTIONS + HAS_TOPIC in ONE scan, ONE explode, ZERO shuffle: the
+    entity/topic arrays are per-doc distinct by the extraction spec and
+    subj = doc_id, so global uniqueness holds by construction — a global
+    dropDuplicates here would shuffle every triple for nothing. The pred
+    derives from the element's own label via a native CASE — building
+    structs inside a F.transform lambda is CodegenFallback, interpreted
+    once per element (measured 2-5x slower per 4.4M triples). This map-only
+    branch is shared by the batch stage and the incremental stream
+    (streaming/incremental.triples_stream)."""
+    x = F.col("x")
+    return enriched_part.select(
+        BUCKET_COL,
+        F.col("doc_id").alias("subj"),
+        F.explode(F.concat("entities", "topics")).alias("x"),
+    ).select(
+        BUCKET_COL,
+        "subj",
+        F.when(x["label"] == "ENTITY", F.lit(spec.PRED_MENTIONS))
+        .otherwise(F.lit(spec.PRED_HAS_TOPIC))
+        .alias("pred"),
+        F.lower(F.trim(x["text"])).alias("obj"),
+    )
+
+
 def build_triples(
     spark: SparkSession, cat: Catalog, enriched: DataFrame, topic_map: DataFrame,
     n_buckets: int = N_BUCKETS,
@@ -207,27 +232,7 @@ def build_triples(
     pending = cat.pending_buckets("triples", n_buckets)
     if pending:
         part = enriched.where(F.col(BUCKET_COL).isin(pending))
-
-        # MENTIONS + HAS_TOPIC in ONE scan, ONE explode, ZERO shuffle: the
-        # entity/topic arrays are per-doc distinct by the extraction spec and
-        # subj = doc_id, so global uniqueness holds by construction — a global
-        # dropDuplicates here would shuffle every triple for nothing. The pred
-        # derives from the element's own label via a native CASE — building
-        # structs inside a F.transform lambda is CodegenFallback, interpreted
-        # once per element (measured 2-5x slower per 4.4M triples).
-        x = F.col("x")
-        ent_topic = part.select(
-            BUCKET_COL,
-            F.col("doc_id").alias("subj"),
-            F.explode(F.concat("entities", "topics")).alias("x"),
-        ).select(
-            BUCKET_COL,
-            "subj",
-            F.when(x["label"] == "ENTITY", F.lit(spec.PRED_MENTIONS))
-            .otherwise(F.lit(spec.PRED_HAS_TOPIC))
-            .alias("pred"),
-            F.lower(F.trim(x["text"])).alias("obj"),
-        )
+        ent_topic = mention_topic_triples(part)
 
         # RELATES_TO_DOC: topic_map is vocabulary-sized (sub-linear in the
         # corpus) → broadcast join; dedup is needed only when two phrases of

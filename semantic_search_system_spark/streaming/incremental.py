@@ -88,6 +88,56 @@ def enrich_stream(
     )
 
 
+def triples_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    n_buckets: int = 8,
+):
+    """INCREMENTAL KG MAINTENANCE: stream interleaved documents straight to
+    (subj, pred, obj) triples — the same fused enrich UDF and the same
+    map-only MENTIONS/HAS_TOPIC emission as the batch stage
+    (plans.pipeline.mention_topic_triples: one logical plan, two execution
+    modes), committed per epoch into ``triples_stream`` with the
+    epoch-scoped partition keys that make replay idempotent and
+    ``compact_stream_epochs`` applicable.
+
+    Scope (documented split, lambda-architecture style): the MENTIONS and
+    HAS_TOPIC branches are PER-DOCUMENT (map-only — streamable exactly);
+    the RELATES_TO_DOC branch depends on the corpus-global phrase
+    canonicalization (topic_map), which only the batch stage refreshes —
+    streaming a clustering would silently re-label past epochs. A batch
+    ``build_triples`` run over the accumulated corpus reconciles it."""
+    from ..catalog import Catalog, with_bucket
+    from ..operators.enrichment import enrich_content
+    from ..operators.extraction import assemble_content
+    from ..plans.pipeline import mention_topic_triples
+
+    stream = (
+        spark.readStream.schema(SPANS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    cat = Catalog(out_root)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        enriched = enrich_content(assemble_content(batch_df, clean=False))
+        enriched = with_bucket(enriched, "doc_id", n_buckets)
+        triples = mention_topic_triples(enriched)
+        triples = triples.withColumn(
+            "bucket", F.concat_ws("_", F.lit(int(epoch_id)), F.col("bucket"))
+        ).select("bucket", "subj", "pred", "obj")
+        cat.commit_partitions(triples, "triples_stream", stage=f"stream_epoch_{epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"

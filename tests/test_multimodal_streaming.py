@@ -169,6 +169,59 @@ def test_compact_stream_epochs_preserves_reads_and_resume(spark, tmp_root):
     assert snap(cat.read(spark, "enriched_stream")) == post
 
 
+def test_triples_stream_matches_batch(spark, tmp_root):
+    """Incremental KG maintenance: streaming the corpus in multiple epochs
+    through triples_stream must produce EXACTLY the batch pipeline's
+    MENTIONS/HAS_TOPIC triple set (same fused enrich, same emission — one
+    logical plan, two execution modes), and epoch compaction must leave the
+    set byte-equal. The RELATES branch is the documented batch-only
+    reconciliation (it depends on corpus-global canonicalization)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from semantic_search_system_spark import spec
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.plans.pipeline import (
+        build_enriched,
+        build_topic_map,
+        build_triples,
+    )
+    from semantic_search_system_spark.streaming.incremental import triples_stream
+
+    multi_dir = os.path.join(tmp_root, "in")
+    spark.read.parquet(interleaved_path(SF_SMALL)).repartition(8).write.parquet(multi_dir)
+
+    out = os.path.join(tmp_root, "out")
+    q = triples_stream(spark, multi_dir, out, os.path.join(tmp_root, "ckpt"))
+    q.awaitTermination(180)
+    cat = Catalog(out)
+    assert len({e["stage"] for e in cat.manifest("triples_stream")["snapshots"]}) >= 2
+
+    bcat = Catalog(os.path.join(tmp_root, "batch"))
+    enr = build_enriched(spark, SF_SMALL, bcat)
+    tm = build_topic_map(spark, bcat, enr)
+    batch = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in build_triples(spark, bcat, enr, tm)
+        .where(F.col("pred") != spec.PRED_RELATES)
+        .collect()
+    }
+    streamed = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in cat.read(spark, "triples_stream").select("subj", "pred", "obj").collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+    # compaction folds the epoch debris without changing the triple set
+    assert cat.compact_stream_epochs(spark, "triples_stream")
+    after = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in cat.read(spark, "triples_stream").select("subj", "pred", "obj").collect()
+    }
+    assert after == batch
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_root):
     """applyInPandasWithState sessionizer: streaming the events table as 4
     time-ordered files (4 micro-batches, cross-batch state) must converge to
