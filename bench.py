@@ -390,6 +390,11 @@ sequentially with 4 network round-trips per document
 10 docs/sec. This engine enriches {r32["docs_per_sec"]:,} docs/sec at local[{n_high}]
 on the same per-doc semantics.
 
+Companion evidence: BENCH/CORPUS_GROWTH.md (throughput vs corpus size at
+fixed cores — 4× data costs 2.25× wall-clock, every stage sub-linear, best
+absolute throughput at the largest corpus) and BENCH/COMMIT_FLOOR.md (the
+per-table commit constant, measured by noop-write vs committed runs).
+
 Measurement notes: this sandbox is a single shared VM (Firecracker guest,
 Xeon @2.10GHz, 32 hardware threads) with large run-to-run variance; each level
 ran {reps}x in alternation and the best run per level is reported above.
@@ -420,7 +425,11 @@ raw and ceiling-normalized efficiency as measured that round):
 - round 6 (nodes+edges commits overlapped on two driver threads): 210.0k /
   92.9k, raw 0.565 normalized 1.017 (ceiling 2.22×) — triples 2.33× and
   graph 2.78× per-stage (1.84×/1.92× in round 5): the graph stage now pays
-  its commit floor once and scales ABOVE the pure-CPU ceiling
+  its commit floor once and scales ABOVE the pure-CPU ceiling. A second
+  same-day draw after enabling concurrent dynamic-partition writers, on a
+  visibly degraded box (probe 2.11×, two 2.5-4× outlier runs): raw 0.471
+  normalized 0.890 — recorded for honesty; the writer change is evidenced
+  at ×256 corpus scale instead (BENCH/CORPUS_GROWTH.md, 311.9k t/s)
 Absolute local[4] throughput rose every round through round 5 (98.3k →
 151.1k → 209.8k → 223.2k; round 6 drew 210.0k on a slower box session —
 within the documented ±0.15 draw band, with the best-ever raw ratio).

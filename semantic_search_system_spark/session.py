@@ -65,6 +65,17 @@ def get_spark(
             "SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"
         ),
         "spark.sql.files.openCostInBytes": "1048576",
+        # Dynamic-partition parquet writes: with 0 (the default) Spark SORTS
+        # every task's rows by partition key before writing; our pipeline
+        # tables have only N_BUCKETS=8 dynamic partitions per task, so
+        # concurrent writers skip that whole-task sort (measured on the
+        # ×256 corpus: the graph stage's write-side cost is the pipeline's
+        # largest super-proportional term). Tables with more partitions than
+        # this (e.g. the √N-bucket IVF assignment) fall back to sort-based
+        # writing automatically.
+        "spark.sql.maxConcurrentOutputFileWriters": os.environ.get(
+            "SPARK_GRAFT_MAX_WRITERS", "16"
+        ),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     }
     if extra_conf:

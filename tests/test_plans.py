@@ -197,6 +197,21 @@ def test_search_plans_have_no_global_window(spark):
         assert "TakeOrderedAndProject" in plan, fn.__name__
 
 
+def test_cooccurrence_plan_has_no_join(spark):
+    """entity_cooccurrence's scale contract: pairs come from a per-row array
+    HOF, NOT a self-join — the exploded (doc, entity) relation must never be
+    shuffled into a join (at 10^12 docs a self-join would shuffle the 5N-row
+    exploded table twice); the only exchange is the map-side-combinable pair
+    count, and the top-100 compiles to TakeOrderedAndProject."""
+    df = ep.registry()["entity_cooccurrence"](spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert node not in plan, node
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "TakeOrderedAndProject" in plan
+    assert df.count() == 100
+
+
 def test_served_expansion_matches_derived(spark):
     """The materialized entity-frequency statistic must yield BIT-IDENTICAL
     expansion terms to the in-plan corpus derivation (the DuckDB oracle keeps
