@@ -220,10 +220,12 @@ def default_bench(sf_dir: str, cpus: int) -> None:
     # warm the session (JVM/codegen) so query timings measure the plans
     spark.range(1000).count()
 
-    # best-of-2: this sandbox VM has ±2x run-to-run noise; min wall-clock is
-    # the closest estimate of true capability under noisy neighbors
+    # best-of-3: this sandbox VM has ±2x run-to-run noise; min wall-clock is
+    # the closest estimate of true capability under noisy neighbors (the
+    # headline kg_pipeline number gets the same draw protection as the
+    # per-query timings below)
     pipe = min(
-        (run_pipeline_once(cpus, sf_dir, amp=1) for _ in range(2)),
+        (run_pipeline_once(cpus, sf_dir, amp=1) for _ in range(3)),
         key=lambda r: r["total_sec"],
     )
 
