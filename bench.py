@@ -115,6 +115,11 @@ def run_pipeline_once(cpus: int, sf_dir: str, amp: int, master: str | None = Non
         from semantic_search_system_spark.operators.extraction import has_usable_text
 
         par = spark.sparkContext.defaultParallelism
+        # unconditional repartition (tested against build_enriched's
+        # conditional skip): the amplified corpus scans as 64+ splits, and
+        # letting all of them write directly produces splits×8 small files
+        # that tax every downstream scan — the one bounded shuffle keeps the
+        # enriched table at par×8 files and measured net-faster end to end
         docs_b = with_bucket(docs, "doc_id", P.N_BUCKETS).repartition(par, "doc_id")
         # mirror the shipped build_enriched path, quarantine gate included
         usable = has_usable_text("spans")
