@@ -109,14 +109,17 @@ _PRIORITY = [
     # hash_sample_stratified never had a driver row (VERDICT r03 'What's
     # missing' #2) — both have full hash oracles
     "token_budget_pack", "hash_sample_stratified",
-    # round-6 freshness rotation (VERDICT r05 #5): tail queries whose last
-    # driver rows are r01-r03 — rotated in for driver-recorded evidence on
-    # current code (pytest's 79-oracle replay already covers them, but
-    # driver rows are the contract)
-    "json_props_extract", "change_detection_fullouter", "semi_anti_customers",
-    "minmax_normalize_orders", "centroid_per_label",
-    # round-2 additions
-    "quarantine_failed_rows", "lemma_token_counts",
+    # round-7 freshness rotation (VERDICT r06 #4): the last tail queries
+    # whose driver rows were r01-r03 — rotated in for driver-recorded
+    # evidence on current code; after this round every oracle's driver row
+    # is ≤ 2 rounds old
+    "doc_quality_scores", "media_attrs_per_doc", "decontaminate_vs_holdout",
+    "bucketed_colocated_join", "events_pivot_manual", "order_price_quantiles",
+    # NEW round 7 (VERDICT r06 #6): hash-grade projection of the LDA inputs —
+    # CountVectorizer vocabulary + doc-term counts re-derived natively and
+    # checked against an independent DuckDB explode+groupBy; only the EM
+    # labels remain rows-only (topic_model_lda, tail)
+    "lda_doc_term_counts",
     # round-3 training-data additions (quality filter / PII / domain mixing /
     # BPE-ish token counting)
     "repetition_3gram_filter", "pii_scrub_audit", "source_mix_sample",
@@ -141,8 +144,17 @@ _PRIORITY = [
     "pricing_summary", "entity_position_backjoin",
 ]
 _TAIL = [
-    # round-6 demotions funding the promotions above: all five got fresh
-    # hash-green driver rows in round 5 on code unchanged since
+    # round-7 demotions funding the freshness rotation above: all seven got
+    # hash-green r06 driver rows (json_props_extract/change_detection_
+    # fullouter/semi_anti_customers/minmax_normalize_orders/centroid_per_
+    # label were themselves the round-6 freshness rotation; quarantine_
+    # failed_rows and lemma_token_counts are multi-round green with
+    # in-window siblings exercising the same helpers)
+    "json_props_extract", "change_detection_fullouter", "semi_anti_customers",
+    "minmax_normalize_orders", "centroid_per_label",
+    "quarantine_failed_rows", "lemma_token_counts",
+    # round-6 demotions: all five got fresh hash-green driver rows in
+    # round 5 on code unchanged since
     "doc_fingerprint", "fuzzy_nation_pairs", "month_windows",
     "sessionize_users", "doc_triples_sql",
     # r05-green; the dedup family keeps four hash rows in-window and the
@@ -152,15 +164,6 @@ _TAIL = [
     # keywords_tfidf and top5_entities_per_doc — demoted for
     # entity_cooccurrence's slot
     "nation_revenue_rank",
-    # rotated to tail in round 4 to fund the window rotations above; every
-    # one is multi-round hash-green (r02+r03) and byte-unchanged this round
-    "doc_quality_scores", "media_attrs_per_doc",
-    "decontaminate_vs_holdout",
-    # moved to tail (round 3) to keep the 50-query window when
-    # search_pro_params and the four training-data queries entered; all
-    # unchanged since their green r02 rows
-    "bucketed_colocated_join", "events_pivot_manual",
-    "order_price_quantiles",
     # moved to tail in round 3 to make room for new hash-oracle rows; all
     # unchanged since their green r02 rows (C5 md5 evidence also lives
     # in-window via exact_dup_groups; A2/O5 via graph_subgraph_collect)

@@ -213,6 +213,12 @@ HEADLINE_QUERIES = [
     # timed (round-5 VERDICT 'What's missing' #1)
     "search_kb_ann",
     "search_advanced_ann",
+    # ... and the full exact interactive set beside the served variants
+    # (round-6 VERDICT 'What's missing' #2): simple has no semantic branch,
+    # advanced/kb are the recall-1.0 twins of their _ann rows above
+    "search_simple",
+    "search_advanced",
+    "search_kb",
     "spans_kind_counts",
 ]
 

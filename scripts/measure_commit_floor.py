@@ -107,17 +107,46 @@ def measure_once(cpus: int, amp: int, sf_dir: str) -> dict:
         t_commit = time.time() - t0
         tr = cat.read(spark, "triples")
 
-        # graph stage, same protocol (both tables, concurrent as shipped)
+        # graph stage, same protocol — the noop pass MIRRORS build_graph
+        # exactly (round-6 ADVICE): the nodes side includes the Document-node
+        # branch (enriched scan + unionByName with the ref-node distinct),
+        # and the two noop writes run on two driver threads like the shipped
+        # concurrent commits, so floor = commit − noop isolates ONLY the
+        # file-IO + manifest constant
+        def _noop_edges() -> None:
+            tr.select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst"),
+                F.col("pred").alias("rel"), F.lit(1.0).alias("weight"),
+            ).write.format("noop").mode("overwrite").save()
+
+        def _noop_nodes() -> None:
+            doc_nodes = enr.select(
+                F.col("doc_id").alias("node_id"), F.lit("Document").alias("kind"),
+                F.col("doc_id").alias("name"), "url", "title", "media_refs",
+            )
+            is_m = F.col("pred") == "MENTIONS"
+            ref_nodes = (
+                tr.where(is_m | (F.col("pred") == "RELATES_TO_DOC"))
+                .select(
+                    F.when(is_m, F.col("obj")).otherwise(F.col("subj")).alias("node_id"),
+                    F.when(is_m, F.lit("Entity")).otherwise(F.lit("BroadTopic")).alias("kind"),
+                )
+                .distinct()
+                .select(
+                    "node_id", "kind", F.col("node_id").alias("name"),
+                    F.lit(None).cast("string").alias("url"),
+                    F.lit(None).cast("string").alias("title"),
+                    F.lit(None).cast("array<string>").alias("media_refs"),
+                )
+            )
+            doc_nodes.unionByName(ref_nodes).write.format("noop").mode("overwrite").save()
+
+        from concurrent.futures import ThreadPoolExecutor
+
         t0 = time.time()
-        tr.select(
-            F.col("subj").alias("src"), F.col("obj").alias("dst"),
-            F.col("pred").alias("rel"), F.lit(1.0).alias("weight"),
-        ).write.format("noop").mode("overwrite").save()
-        is_m = F.col("pred") == "MENTIONS"
-        tr.where(is_m | (F.col("pred") == "RELATES_TO_DOC")).select(
-            F.when(is_m, F.col("obj")).otherwise(F.col("subj")).alias("node_id"),
-            F.when(is_m, F.lit("Entity")).otherwise(F.lit("BroadTopic")).alias("kind"),
-        ).distinct().write.format("noop").mode("overwrite").save()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(_noop_nodes), pool.submit(_noop_edges)]:
+                fut.result()
         g_noop = time.time() - t0
         t0 = time.time()
         P.build_graph(spark, cat, enr, tr)
@@ -148,7 +177,11 @@ def main() -> None:
         print(json.dumps(measure_once(args.child, args.amp, args.sf_dir)))
         return
 
-    best: dict[int, dict] = {}
+    # best per METRIC FAMILY independently (round-6 ADVICE): a single
+    # best-run pick keyed on triples time can carry a non-best graph draw on
+    # this ±2x-noise VM, biasing the graph floor upward
+    best_t: dict[int, dict] = {}
+    best_g: dict[int, dict] = {}
     runs = []
     for _ in range(args.reps):
         for c in args.cpus:  # alternate levels (VM noise protocol)
@@ -157,26 +190,31 @@ def main() -> None:
             out = subprocess.run(cmd, capture_output=True, text=True, check=True)
             r = json.loads([ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1])
             runs.append(r)
-            key = "triples_commit_sec"
-            if c not in best or r[key] < best[c][key]:
-                best[c] = r
+            if c not in best_t or r["triples_commit_sec"] < best_t[c]["triples_commit_sec"]:
+                best_t[c] = r
+            if c not in best_g or r["graph_commit_sec"] < best_g[c]["graph_commit_sec"]:
+                best_g[c] = r
             print(r, file=sys.stderr)
 
-    lo, hi = (best[c] for c in sorted(best))
+    lo, hi = (best_t[c] for c in sorted(best_t))
+    glo, ghi = (best_g[c] for c in sorted(best_g))
     md = f"""# BENCH/COMMIT_FLOOR — the fixed cost of a partitioned-parquet commit
 
 Protocol: the triples and graph stages run twice per fresh JVM over the
 amplified corpus (×{args.amp}) — once consumed by a `noop`-format write
-(full computation, zero file IO) and once through the real
+(full computation, zero file IO; the graph noop pass mirrors build_graph
+exactly: Document-node branch included, the two table writes on two driver
+threads like the shipped concurrent commits) and once through the real
 `Catalog.commit_partitions`. floor = commit − noop. Best of {args.reps}
-alternating reps per level.
+alternating reps per level, selected PER METRIC FAMILY (the best triples
+draw and the best graph draw may be different runs on this ±2x-noise VM).
 
 | stage | cores | transform-only (s) | committed (s) | floor (s) |
 |---|---|---|---|---|
 | triples | {lo["cpus"]} | {lo["triples_noop_sec"]} | {lo["triples_commit_sec"]} | {lo["triples_floor_sec"]} |
 | triples | {hi["cpus"]} | {hi["triples_noop_sec"]} | {hi["triples_commit_sec"]} | {hi["triples_floor_sec"]} |
-| graph (both tables) | {lo["cpus"]} | {lo["graph_noop_sec"]} | {lo["graph_commit_sec"]} | {lo["graph_floor_sec"]} |
-| graph (both tables) | {hi["cpus"]} | {hi["graph_noop_sec"]} | {hi["graph_commit_sec"]} | {hi["graph_floor_sec"]} |
+| graph (both tables) | {glo["cpus"]} | {glo["graph_noop_sec"]} | {glo["graph_commit_sec"]} | {glo["graph_floor_sec"]} |
+| graph (both tables) | {ghi["cpus"]} | {ghi["graph_noop_sec"]} | {ghi["graph_commit_sec"]} | {ghi["graph_floor_sec"]} |
 
 Reading: the commit's write work itself parallelizes near the machine
 ceiling (the per-bucket files write from independent tasks), so most of the

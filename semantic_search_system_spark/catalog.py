@@ -70,6 +70,19 @@ class Catalog:
             json.dump(man, f, indent=1, sort_keys=True)
         os.replace(tmp, self._manifest_path(table))
 
+    # ------------------------------------------------------------- properties
+    def set_property(self, table: str, key: str, value) -> None:
+        """Iceberg-style table property: arbitrary JSON metadata persisted in
+        the manifest (e.g. the doc-IVF index's ``covers`` map — which source
+        partitions/snapshots the index includes — that the frozen-centroid
+        append path diffs against)."""
+        man = self.manifest(table)
+        man.setdefault("properties", {})[key] = value
+        self._save_manifest(table, man)
+
+    def get_property(self, table: str, key: str, default=None):
+        return self.manifest(table).get("properties", {}).get(key, default)
+
     # ------------------------------------------------------------- reads
     def exists(self, table: str) -> bool:
         return os.path.exists(self._manifest_path(table))
@@ -143,19 +156,31 @@ class Catalog:
         return [b for b in range(n_buckets) if b not in done]
 
     # ------------------------------------------------------------- writes
-    def _compaction_tombstones(self, man: dict) -> set[str]:
+    def _compaction_tombstones(self, man: dict) -> dict[str, str | None]:
         """Partition keys consumed by a past compaction (every snapshot's
-        ``compacted_from``). A key folded into a ``c<gen>_*`` partition must
-        never be re-committable: a stream that crashed after
-        ``commit_partitions`` but BEFORE its checkpoint recorded the batch
-        will REPLAY that epoch on restart — if compaction ran in between (the
-        'stream stopped' precondition doesn't distinguish a clean stop from a
-        crash), the replayed epoch's keys are gone from ``partitions`` and a
-        plain membership check would commit the rows a second time, doubling
-        every subsequent read."""
-        return {
-            k for s in man.get("snapshots", []) for k in s.get("compacted_from", [])
-        }
+        ``compacted_from``), mapped to the STAGE each key was originally
+        committed with (``compacted_from_stages``; None for pre-round-7
+        snapshots that recorded only the keys). A key folded into a
+        ``c<gen>_*`` partition must never be re-committable: a stream that
+        crashed after ``commit_partitions`` but BEFORE its checkpoint
+        recorded the batch will REPLAY that epoch on restart — if compaction
+        ran in between (the 'stream stopped' precondition doesn't
+        distinguish a clean stop from a crash), the replayed epoch's keys
+        are gone from ``partitions`` and a plain membership check would
+        commit the rows a second time, doubling every subsequent read.
+
+        The recorded stage is what distinguishes that REPLAY (same stage —
+        the stream's stage string embeds its checkpoint identity) from
+        genuinely NEW data arriving under a reused key (a stream restarted
+        on a fresh/deleted checkpoint restarts epoch ids at 0 — a DIFFERENT
+        stage): silently skipping the latter would be data loss with no
+        signal, so commit_partitions raises on the mismatch instead."""
+        out: dict[str, str | None] = {}
+        for s in man.get("snapshots", []):
+            stages = s.get("compacted_from_stages", {})
+            for k in s.get("compacted_from", []):
+                out[k] = stages.get(k)
+        return out
 
     def commit_partitions(self, df: DataFrame, table: str, stage: str) -> dict:
         """Write ``df`` (must carry BUCKET_COL) partition-atomically and record
@@ -192,8 +217,21 @@ class Catalog:
             if not d.startswith(f"{BUCKET_COL}="):
                 continue
             bucket = d.split("=", 1)[1]
-            if bucket in man["partitions"] or bucket in tombstones:
-                continue  # checkpointed (or compacted away) — never recommit
+            if bucket in man["partitions"]:
+                continue  # checkpointed — never recommit
+            if bucket in tombstones:
+                tomb_stage = tombstones[bucket]
+                if tomb_stage is not None and tomb_stage != stage:
+                    raise ValueError(
+                        f"partition '{bucket}' of table '{table}' was compacted "
+                        f"away after a commit from stage '{tomb_stage}', but stage "
+                        f"'{stage}' is now trying to commit it — this is NEW data "
+                        f"under a reused key (e.g. a stream restarted on a fresh "
+                        f"checkpoint re-numbering epochs from 0), not a crash "
+                        f"replay; skipping it silently would be data loss. Resume "
+                        f"the original checkpoint, or write under fresh keys."
+                    )
+                continue  # same-stage crash replay of a compacted epoch — skip
             src, dst = os.path.join(staging, d), os.path.join(table_dir, d)
             if os.path.exists(dst):
                 shutil.rmtree(dst)
@@ -302,6 +340,10 @@ class Catalog:
                 F.element_at(F.split(F.col(BUCKET_COL).cast("string"), "_"), -1),
             ),
         )
+        # capture each source key's committing stage BEFORE the keys are
+        # dropped — the tombstone guard in commit_partitions uses it to tell
+        # a crash REPLAY (same stage) from new data under a reused key
+        source_stages = {k: parts[k]["stage"] for k in sources}
         staging = os.path.join(tdir, f"_compacting_{uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
         snapshot_id = uuid.uuid4().hex[:16]
@@ -331,6 +373,7 @@ class Catalog:
                 "stage": f"compact_gen{gen}",
                 "partitions": sorted(committed),
                 "compacted_from": sources,
+                "compacted_from_stages": source_stages,
                 "total_rows": sum(e["rows_written"] for e in committed.values()),
             }
         )

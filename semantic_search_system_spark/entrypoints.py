@@ -1112,6 +1112,54 @@ def entity_position_backjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.join(docs, "doc_id").select("doc_id", "pos", "ent", "n_chars")
 
 
+@query(
+    "lda_doc_term_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_CLEAN_SQL}, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n
+           FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, CAST(sum(n) AS BIGINT) AS tf_total, count(*) AS df
+        FROM tf GROUP BY term)
+      WHERE df >= 2 ORDER BY tf_total DESC, term ASC LIMIT 1024)
+    SELECT t.doc_id, t.term, t.n FROM tf t JOIN vocab USING (term)
+    """,
+)
+def lda_doc_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GRADE projection of topic_model_lda's inputs (round-6 VERDICT
+    'Next round' #6): the EM labels are iterative, but the CountVectorizer
+    vocabulary (minDF=2 document frequency, vocabSize=1024 by corpus term
+    frequency) and the doc-term count matrix it feeds the LDA are
+    deterministic — re-derived here with native explode + groupBy and
+    checked cell-for-cell against the DuckDB twin. The (tf_total desc, term
+    asc) vocabulary tie-break is immaterial on this corpus (31 distinct
+    DF≥2 terms, far under the 1024 cap);
+    tests/test_operators.py::test_lda_vocab_matches_countvectorizer pins
+    set-equality with the ACTUAL CountVectorizer vocabulary, so only the EM
+    topic labels remain rows-only."""
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(clean_text_col(F.col("text")), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.sum("n").alias("tf_total"), F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+        .orderBy(F.desc("tf_total"), F.asc("term"))
+        .limit(1024)
+        .select("term")
+    )
+    return tf.join(F.broadcast(vocab), "term").select("doc_id", "term", "n")
+
+
 @query("topic_model_lda")  # Spark ML EM-LDA: iterative, seeded — rows-only check
 def topic_model_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N5: corpus-level LDA (the reference runs per-doc LDA on a single doc,

@@ -26,8 +26,24 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import spec
 from ..functions.vectors import cosine_sim
 from ..spec import round_half_away as _round_half_away
+
+# Serving-path observability (round-6 VERDICT #3): low-signal escalations are
+# rare by construction, but a burst of out-of-distribution queries is a cost
+# event an operator must be able to SEE — every probe ticks `queries`, every
+# signal-escalated probe also ticks `escalations`. Process-local (per driver),
+# like any server's request counters; scrape via ``probe_stats()``.
+_PROBE_STATS = {"queries": 0, "escalations": 0}
+
+
+def probe_stats() -> dict[str, int]:
+    return dict(_PROBE_STATS)
+
+
+def reset_probe_stats() -> None:
+    _PROBE_STATS.update(queries=0, escalations=0)
 
 
 def _nearest_centroid_udf(cent_rows: list[tuple[int, list[float]]]):
@@ -268,10 +284,48 @@ def build_ivf_index(
         d = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
         assigned = _assignments(d, cent_rows, id_col)
         cat.commit_partitions(
-            assigned.withColumn("bucket", F.col("centroid_id").cast("int")),
+            # STRING partition keys: the base build owns "<cid>"; frozen-
+            # centroid appends (append_ivf_assignments) later add
+            # "a<tag>_<cid>" keys beside them under the same recorded schema
+            assigned.withColumn("bucket", F.col("centroid_id").cast("string")),
             assign_table,
             stage=stage,
         )
+
+
+def append_ivf_assignments(
+    spark: SparkSession,
+    cat,
+    vectors: DataFrame,
+    append_tag: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_table: str = "ivf_centroids",
+    assign_table: str = "ivf_assign",
+    stage: str = "ivf_append",
+) -> None:
+    """Assign NEW vectors to the FROZEN centroids of an existing index and
+    commit them as ``a<append_tag>_<centroid>`` partitions beside the base
+    ``<centroid>`` ones — the streamed-epoch append path (round-6 VERDICT
+    #4): at 10^12 docs a full refit per appended epoch is not a plan, and
+    raising on lineage change bricks every ANN query until a manual rebuild.
+    Centroids are NOT moved (the recall contract is about the probe fraction,
+    not centroid optimality; drift beyond spec.DOC_IVF_DRIFT_REFIT_FRAC
+    triggers a refit upstream — plans/search.ensure_doc_ivf). The tag must be
+    deterministic in the appended input (e.g. a hash of the appended
+    partition keys) so a replayed append hits the same partition keys and is
+    skipped by the manifest — the same idempotence as every other commit."""
+    cids, C = _centroids_cached(cat, cent_table)
+    cent_rows = [(int(c), [float(x) for x in v]) for c, v in zip(cids, C)]
+    d = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+    assigned = _assignments(d, cent_rows, id_col)
+    cat.commit_partitions(
+        assigned.withColumn(
+            "bucket", F.concat(F.lit(f"a{append_tag}_"), F.col("centroid_id").cast("string"))
+        ),
+        assign_table,
+        stage=stage,
+    )
 
 
 # interactive-QPS serving cache: (catalog root, centroid table) → the parsed
@@ -334,9 +388,19 @@ def ivf_topk_indexed(
     when the BEST rounded centroid cosine is below it, the centroid ranking
     carries no information for this query (a query near-orthogonal to every
     centroid has its true neighbors spread uniformly over buckets; measured
-    recall at the contract fraction collapses to ~0.44) and ALL buckets are
-    probed: exact recall at exact-scan cost instead of a silent cliff. The
-    SQL oracle replays the identical rule on the identical rounded values."""
+    recall at the contract fraction collapses to ~0.44) and the probe widens
+    to min(n_centroids, spec.DOC_IVF_ESCALATE_FACTOR × n_probe) buckets —
+    the TIER bounds the per-query cost of an out-of-distribution burst
+    (round-6 VERDICT #3) while at the shipped 3/8 probe fraction it
+    saturates to all buckets (4 × 3/8 ≥ 1): exact recall at exact-scan
+    cost instead of a silent cliff, unchanged behavior at every corpus
+    size under the contract parameters. Escalations tick ``probe_stats()``.
+    The SQL oracle replays the identical rule on the identical rounded
+    values.
+
+    The probed read covers the base ``<cid>`` partitions AND any
+    frozen-centroid append partitions ``a<tag>_<cid>`` for the probed
+    centroids (append_ivf_assignments)."""
     cids, C = _centroids_cached(cat, cent_table)
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     denom = np.linalg.norm(C, axis=1) * np.linalg.norm(q)
@@ -344,10 +408,18 @@ def ivf_topk_indexed(
         np.where(denom > 0, (C @ q) / np.where(denom == 0, 1.0, denom), 0.0), 6
     )
     order = np.lexsort((cids, -qsim))  # (-qsim, centroid_id) ascending
+    _PROBE_STATS["queries"] += 1
     if signal_min is not None and len(qsim) and float(qsim[order[0]]) < signal_min:
-        n_probe = len(cids)
+        n_probe = min(len(cids), spec.DOC_IVF_ESCALATE_FACTOR * n_probe)
+        _PROBE_STATS["escalations"] += 1
     probe = [int(c) for c in cids[order[:n_probe]]]
-    hits = cat.read_buckets(spark, assign_table, probe)
+    want = {str(c) for c in probe}
+    man_keys = cat.manifest(assign_table)["partitions"]
+    keys = [
+        k for k in man_keys
+        if k in want or ("_" in k and k.rsplit("_", 1)[1] in want)
+    ]
+    hits = cat.read_buckets(spark, assign_table, keys)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         hits.select(id_col, F.round(cosine_sim(F.col("_v"), qv), 6).alias("sim"))

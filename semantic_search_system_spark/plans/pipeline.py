@@ -225,6 +225,35 @@ def mention_topic_triples(enriched_part: DataFrame) -> DataFrame:
     )
 
 
+def relates_triples(enriched_part: DataFrame, topic_map: DataFrame) -> DataFrame:
+    """RELATES_TO_DOC branch: topic_map is vocabulary-sized (sub-linear in
+    the corpus) → broadcast join; dedup is needed only when two phrases of
+    the SAME doc canonicalize to the same broad topic, so the distinct key
+    includes doc_id and the shuffle carries only this branch — the
+    MERGE-per-pair loop of knowledge_graph.py:151-189 collapses to one
+    broadcast join + one narrow distinct. Topics are per-doc distinct,
+    lowercase winners by the extraction spec, so explode + native lower/trim
+    is exact — no per-element transform lambda, no array_distinct pass.
+    Shared by the batch stage (build_triples) and the streaming
+    reconciliation (streaming/incremental.reconcile_relates) — the
+    corpus-global half of the documented lambda split."""
+    doc_topics = enriched_part.select(
+        BUCKET_COL,
+        "doc_id",
+        F.explode("topics").alias("t"),
+    ).select(BUCKET_COL, "doc_id", F.lower(F.trim(F.col("t")["text"])).alias("phrase_norm"))
+    return (
+        doc_topics.join(F.broadcast(topic_map.select("phrase_norm", "broad_topic")), "phrase_norm")
+        .select(
+            BUCKET_COL,
+            F.col("broad_topic").alias("subj"),
+            F.lit(spec.PRED_RELATES).alias("pred"),
+            F.col("doc_id").alias("obj"),
+        )
+        .dropDuplicates(["subj", "obj"])
+    )
+
+
 def build_triples(
     spark: SparkSession, cat: Catalog, enriched: DataFrame, topic_map: DataFrame,
     n_buckets: int = N_BUCKETS,
@@ -232,34 +261,7 @@ def build_triples(
     pending = cat.pending_buckets("triples", n_buckets)
     if pending:
         part = enriched.where(F.col(BUCKET_COL).isin(pending))
-        ent_topic = mention_topic_triples(part)
-
-        # RELATES_TO_DOC: topic_map is vocabulary-sized (sub-linear in the
-        # corpus) → broadcast join; dedup is needed only when two phrases of
-        # the SAME doc canonicalize to the same broad topic, so the distinct
-        # key includes doc_id and the shuffle carries only this branch —
-        # the MERGE-per-pair loop of knowledge_graph.py:151-189 collapses to
-        # one broadcast join + one narrow distinct.
-        # topics are per-doc distinct, lowercase winners by the extraction
-        # spec, so explode + native lower/trim is exact — no per-element
-        # transform lambda, no array_distinct pass; the dropDuplicates after
-        # the join below is what deduplicates (subj, obj) pairs anyway
-        doc_topics = part.select(
-            BUCKET_COL,
-            "doc_id",
-            F.explode("topics").alias("t"),
-        ).select(BUCKET_COL, "doc_id", F.lower(F.trim(F.col("t")["text"])).alias("phrase_norm"))
-        relates = (
-            doc_topics.join(F.broadcast(topic_map.select("phrase_norm", "broad_topic")), "phrase_norm")
-            .select(
-                BUCKET_COL,
-                F.col("broad_topic").alias("subj"),
-                F.lit(spec.PRED_RELATES).alias("pred"),
-                F.col("doc_id").alias("obj"),
-            )
-            .dropDuplicates(["subj", "obj"])
-        )
-        triples = ent_topic.unionByName(relates)
+        triples = mention_topic_triples(part).unionByName(relates_triples(part, topic_map))
         cat.commit_partitions(triples, "triples", stage="triples")
     return cat.read(spark, "triples")
 

@@ -74,6 +74,22 @@ DOC_IVF_PROBE_FRAC = (3, 8)  # probe ceil(3/8 · n_centroids) — recall contrac
 # panel vs 0.0 for the degenerate query), so the escalation never fires on
 # the hot path; real embedding models separate the two regimes even further.
 DOC_IVF_SIGNAL_MIN = 0.1
+# Escalation COST bound (round-6 VERDICT #3): an escalated query probes
+# min(n_centroids, DOC_IVF_ESCALATE_FACTOR × n_probe) buckets, not
+# unconditionally all of them — at the contract probe fraction (3/8) the
+# tier saturates to the full scan (4 × 3/8 ≥ 1), so behavior and recall are
+# UNCHANGED at every corpus size under the shipped parameters, but a
+# deployment running a leaner probe fraction (say 1/16 at 10^6 centroids)
+# has its worst-case out-of-distribution query bounded at 4× the contract
+# cost instead of a full corpus scan. Escalations are counted
+# (operators/similarity.probe_stats) so a burst is observable.
+DOC_IVF_ESCALATE_FACTOR = 4
+# Frozen-centroid APPEND path (round-6 VERDICT #4): appended epochs beyond
+# this fraction of the indexed base corpus trigger a full refit (delete +
+# rebuild) instead of another frozen-centroid assignment — past that much
+# drift the fit sample no longer represents the corpus and the recall
+# contract can quietly erode.
+DOC_IVF_DRIFT_REFIT_FRAC = 0.5
 
 
 def round_half_away(x, ndigits: int = SIM_NDIGITS):

@@ -17,9 +17,30 @@ straggler sweep (:142-194). Two Spark-native equivalents live here:
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _checkpoint_identity(checkpoint_dir: str) -> str:
+    """Stable identity of a stream's checkpoint — Structured Streaming's own
+    query id (persisted in ``<checkpoint>/metadata`` at start; stable across
+    restarts FROM that checkpoint, fresh when the checkpoint is new or
+    deleted). Embedded in every epoch's commit-stage string so the catalog's
+    compaction-tombstone guard can tell a crash REPLAY of an epoch (same
+    checkpoint → same stage → skipped) from a restarted stream re-numbering
+    epochs from 0 over a compacted key (different checkpoint → different
+    stage → raises instead of silently dropping new data)."""
+    meta = os.path.join(checkpoint_dir, "metadata")
+    try:
+        with open(meta) as f:
+            return json.load(f)["id"][:8]
+    except (OSError, KeyError, ValueError):
+        return hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
 
 SPANS_SCHEMA = T.StructType(
     [
@@ -52,7 +73,7 @@ def enrich_stream(
     Catalog. Returns the started StreamingQuery (caller awaits/stops)."""
     from ..catalog import Catalog, with_bucket
     from ..operators.enrichment import enrich_content
-    from ..operators.extraction import assemble_content
+    from ..operators.extraction import assemble_content, has_usable_text
 
     stream = (
         spark.readStream.schema(SPANS_SCHEMA)
@@ -62,10 +83,25 @@ def enrich_stream(
     cat = Catalog(out_root)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        stage = f"stream_epoch_{epoch_id} ckpt={_checkpoint_identity(checkpoint_dir)}"
+        batch_df = with_bucket(batch_df, "doc_id", n_buckets)
+        epoch_key = F.concat_ws("_", F.lit(int(epoch_id)), F.col("bucket"))
+        # §2.11 quarantine, SAME rule as the batch stage (build_enriched):
+        # docs with no usable text span go to the failed-rows table instead
+        # of silently producing empty enrichments — stream and batch must
+        # admit the SAME corpus or the reconciled graph diverges
+        usable = has_usable_text("spans")
+        cat.commit_partitions(
+            batch_df.where(~usable).select(
+                epoch_key.alias("bucket"), "doc_id",
+                F.lit("enrich").alias("stage"), F.lit("no_text_spans").alias("reason"),
+            ),
+            "failed_rows_stream",
+            stage=stage,
+        )
         # the SAME fused enrich stage as the batch plan (one logical plan,
         # two execution modes) — Arrow-RE2 clean + shared token stream
-        enriched = enrich_content(assemble_content(batch_df, clean=False))
-        enriched = with_bucket(enriched, "doc_id", n_buckets)
+        enriched = enrich_content(assemble_content(batch_df.where(usable), clean=False))
         # Epoch-scope the partition key: each micro-batch owns its own
         # `<epoch>_<bucket>` partitions. A replayed epoch (foreachBatch may
         # re-deliver after a failure) hits already-manifested keys and is
@@ -78,7 +114,7 @@ def enrich_stream(
             "bucket", "doc_id", "url", "title", "doc_date", "content", "summary",
             "entities", "topics", "embedding", "media_refs",
         )
-        cat.commit_partitions(enriched, "enriched_stream", stage=f"stream_epoch_{epoch_id}")
+        cat.commit_partitions(enriched, "enriched_stream", stage=stage)
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -107,11 +143,13 @@ def triples_stream(
     HAS_TOPIC branches are PER-DOCUMENT (map-only — streamable exactly);
     the RELATES_TO_DOC branch depends on the corpus-global phrase
     canonicalization (topic_map), which only the batch stage refreshes —
-    streaming a clustering would silently re-label past epochs. A batch
-    ``build_triples`` run over the accumulated corpus reconciles it."""
+    streaming a clustering would silently re-label past epochs.
+    ``reconcile_relates`` below closes the split: run it (at any cadence)
+    over the accumulated ``enriched_stream`` corpus and ``serving_triples``
+    exposes the converged three-predicate set."""
     from ..catalog import Catalog, with_bucket
     from ..operators.enrichment import enrich_content
-    from ..operators.extraction import assemble_content
+    from ..operators.extraction import assemble_content, has_usable_text
     from ..plans.pipeline import mention_topic_triples
 
     stream = (
@@ -122,13 +160,17 @@ def triples_stream(
     cat = Catalog(out_root)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        enriched = enrich_content(assemble_content(batch_df, clean=False))
+        stage = f"stream_epoch_{epoch_id} ckpt={_checkpoint_identity(checkpoint_dir)}"
+        # same admission rule as the batch stage (see enrich_stream)
+        enriched = enrich_content(
+            assemble_content(batch_df.where(has_usable_text("spans")), clean=False)
+        )
         enriched = with_bucket(enriched, "doc_id", n_buckets)
         triples = mention_topic_triples(enriched)
         triples = triples.withColumn(
             "bucket", F.concat_ws("_", F.lit(int(epoch_id)), F.col("bucket"))
         ).select("bucket", "subj", "pred", "obj")
-        cat.commit_partitions(triples, "triples_stream", stage=f"stream_epoch_{epoch_id}")
+        cat.commit_partitions(triples, "triples_stream", stage=stage)
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -136,6 +178,55 @@ def triples_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def reconcile_relates(spark: SparkSession, out_root: str, n_buckets: int = 8) -> DataFrame:
+    """BATCH half of the lambda split (round-6 VERDICT 'What's missing' #1):
+    refresh the corpus-global phrase canonicalization over the ACCUMULATED
+    streamed corpus and rebuild the RELATES_TO_DOC triples wholesale —
+    exactly the reference's full three-predicate graph build
+    (knowledge_graph/knowledge_graph.py:118-126,151-189) applied to
+    everything the stream has landed so far.
+
+    The clustering is corpus-global BY NATURE (a new phrase can merge two
+    existing components and re-label history), so this stage overwrites
+    rather than appends: ``topic_map`` is refreshed (vocabulary-sized —
+    sub-linear in the corpus, cheap at any scale) and ``triples_relates`` is
+    replaced atomically via the catalog. The per-doc MENTIONS/HAS_TOPIC
+    triples are NOT touched — the stream already maintains those exactly.
+    Run at any cadence while the stream is stopped (single-writer table
+    maintenance, like compaction); ``serving_triples`` unions the two
+    halves into the converged set."""
+    import shutil
+
+    from ..catalog import BUCKET_COL, Catalog, with_bucket
+    from ..plans.pipeline import build_topic_map, relates_triples
+
+    cat = Catalog(out_root)
+    enriched = cat.read(spark, "enriched_stream")
+    if cat.exists("topic_map"):
+        shutil.rmtree(cat.path("topic_map"))
+    topic_map = build_topic_map(spark, cat, enriched)
+    relates = relates_triples(enriched, topic_map).drop(BUCKET_COL)
+    cat.overwrite(
+        with_bucket(relates, "obj", n_buckets), "triples_relates", stage="reconcile_relates"
+    )
+    return cat.read(spark, "triples_relates")
+
+
+def serving_triples(spark: SparkSession, out_root: str) -> DataFrame:
+    """The serving view of the incrementally-maintained KG: streamed per-doc
+    MENTIONS/HAS_TOPIC ∪ batch-reconciled RELATES (empty until the first
+    ``reconcile_relates`` run — the documented lambda behavior: per-doc
+    predicates are exact in real time, the corpus-global predicate converges
+    at reconciliation cadence)."""
+    from ..catalog import Catalog
+
+    cat = Catalog(out_root)
+    t = cat.read(spark, "triples_stream").select("subj", "pred", "obj")
+    if cat.exists("triples_relates"):
+        t = t.unionByName(cat.read(spark, "triples_relates").select("subj", "pred", "obj"))
+    return t
 
 
 EVENTS_SCHEMA = (

@@ -67,6 +67,38 @@ def test_replayed_epoch_after_compaction_not_recommitted(spark, tmp_root, sample
     assert cat.read(spark, "es").count() == 200
 
 
+def test_tombstone_hit_from_foreign_stage_raises(spark, tmp_root, sample):
+    """Round-6 ADVICE: a stream restarted on a FRESH (or deleted) checkpoint
+    restarts epoch ids at 0 — genuinely new data arriving under a
+    previously-compacted '<epoch>_<bucket>' key must RAISE, not be silently
+    dropped (the mirror image of the replay-doubling the tombstones fix).
+    The committing stage embeds the checkpoint identity, so a crash replay
+    (same stage) still skips while a foreign stage is refused."""
+    cat = Catalog(tmp_root)
+    epoch = sample.withColumn(BUCKET_COL, F.concat_ws("_", F.lit(0), F.col(BUCKET_COL)))
+    cat.commit_partitions(epoch, "es", stage="stream_epoch_0 ckpt=aaaa1111")
+    assert cat.compact_stream_epochs(spark, "es")
+    # crash replay from the SAME checkpoint: skipped, reads unchanged
+    cat.commit_partitions(epoch, "es", stage="stream_epoch_0 ckpt=aaaa1111")
+    assert cat.read(spark, "es").count() == 100
+    # NEW data from a DIFFERENT checkpoint reusing the compacted key: refused
+    fresh = epoch.withColumn("doc_id", F.concat(F.lit("n"), F.col("doc_id")))
+    with pytest.raises(ValueError, match="reused key"):
+        cat.commit_partitions(fresh, "es", stage="stream_epoch_0 ckpt=bbbb2222")
+    assert cat.read(spark, "es").count() == 100
+
+
+def test_table_properties_roundtrip(tmp_root):
+    cat = Catalog(tmp_root)
+    assert cat.get_property("t", "covers") is None
+    cat.set_property("t", "covers", {"0_1": "snap"})
+    cat.set_property("t", "params", [8, 3])
+    assert cat.get_property("t", "covers") == {"0_1": "snap"}
+    assert cat.get_property("t", "params") == [8, 3]
+    # properties survive a manifest rewrite by an unrelated commit path
+    assert Catalog(tmp_root).get_property("t", "covers") == {"0_1": "snap"}
+
+
 def test_overwrite_replaces_table(spark, tmp_root, sample):
     """S8 graph-rebuild semantics (knowledge_graph.py:58-107)."""
     cat = Catalog(tmp_root)

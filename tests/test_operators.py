@@ -260,3 +260,33 @@ def test_fuzzy_edges_exact_recall_distance1(spark):
         if a < b and lev(a, b) <= 1
     }
     assert got == want and ("park", "spark") in got and ("smark", "spark") in got
+
+
+def test_lda_vocab_matches_countvectorizer(spark):
+    """The hash-graded lda_doc_term_counts projection derives the SAME
+    vocabulary the actual topic_model_lda CountVectorizer fits (minDF=2,
+    vocabSize=1024) — so the DuckDB-checked doc-term matrix is exactly the
+    LDA's deterministic input and only the EM labels remain rows-only."""
+    from pyspark.ml.feature import CountVectorizer
+
+    import semantic_search_system_spark.entrypoints as ep
+
+    d = ep.load(spark, SF_SMALL, "documents").select(
+        "doc_id", F.split(clean_text_col(F.col("text")), " ").alias("tokens")
+    )
+    cv = CountVectorizer(inputCol="tokens", outputCol="tf", vocabSize=1024, minDF=2.0).fit(d)
+    derived = ep.registry()["lda_doc_term_counts"](spark, SF_SMALL)
+    terms = {r["term"] for r in derived.select("term").distinct().collect()}
+    assert terms == set(cv.vocabulary) and len(terms) > 0
+    # and the per-(doc, term) counts equal the vectorized counts
+    from collections import defaultdict
+
+    want = defaultdict(dict)
+    for r in cv.transform(d).select("doc_id", "tf").collect():
+        v = r["tf"]
+        for idx, cnt in zip(v.indices, v.values):
+            want[r["doc_id"]][cv.vocabulary[int(idx)]] = int(cnt)
+    got = defaultdict(dict)
+    for r in derived.collect():
+        got[r["doc_id"]][r["term"]] = int(r["n"])
+    assert got == want

