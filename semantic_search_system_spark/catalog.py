@@ -71,14 +71,21 @@ class Catalog:
         os.replace(tmp, self._manifest_path(table))
 
     # ------------------------------------------------------------- properties
-    def set_property(self, table: str, key: str, value) -> None:
-        """Iceberg-style table property: arbitrary JSON metadata persisted in
-        the manifest (e.g. the doc-IVF index's ``covers`` map — which source
-        partitions/snapshots the index includes — that the frozen-centroid
-        append path diffs against)."""
+    def set_properties(self, table: str, props: dict) -> None:
+        """Iceberg-style table properties: arbitrary JSON metadata persisted
+        in the manifest (e.g. the doc-IVF index's ``covers`` map — which
+        source partitions/snapshots the index includes — that the frozen-
+        centroid append path diffs against). Several keys land in ONE atomic
+        manifest save: a crash can never publish a subset (the doc-IVF
+        covers/params/fit_rows triple must appear together or not at all —
+        a partial triple would disable the serve/append fast path and send
+        the next call down the rebuild path against a live index)."""
         man = self.manifest(table)
-        man.setdefault("properties", {})[key] = value
+        man.setdefault("properties", {}).update(props)
         self._save_manifest(table, man)
+
+    def set_property(self, table: str, key: str, value) -> None:
+        self.set_properties(table, {key: value})
 
     def get_property(self, table: str, key: str, default=None):
         return self.manifest(table).get("properties", {}).get(key, default)
@@ -129,11 +136,16 @@ class Catalog:
         ]
         return pads.dataset(files, format="parquet").to_table()
 
-    def read_buckets(self, spark: SparkSession, table: str, buckets) -> DataFrame:
+    def read_buckets(
+        self, spark: SparkSession, table: str, buckets, partitions: dict | None = None
+    ) -> DataFrame:
         """Partition-pruned read: only the named ``bucket=<b>`` directories are
         scanned (the IVF probe path — an n_probe/n_centroids fraction of the
-        table's bytes)."""
-        man = self.manifest(table)["partitions"]
+        table's bytes). ``partitions``: pass the already-parsed manifest
+        partition map to skip re-parsing it (the serving path computes the
+        probe keys from the same map — at ~10^6 centroids the manifest is
+        multi-MB JSON and one parse per query is enough)."""
+        man = partitions if partitions is not None else self.manifest(table)["partitions"]
         dirs = [
             os.path.join(self.path(table), f"{BUCKET_COL}={b}")
             for b in buckets
@@ -221,7 +233,13 @@ class Catalog:
                 continue  # checkpointed — never recommit
             if bucket in tombstones:
                 tomb_stage = tombstones[bucket]
-                if tomb_stage is not None and tomb_stage != stage:
+                # the discriminator is the checkpoint identity embedded in the
+                # stage string ("... ckpt=<id>"); a tombstoned stage WITHOUT
+                # one predates that scheme (or came from a batch writer), so a
+                # replay can't be told from new data — fall back to the legacy
+                # skip rather than permanently halting a stream whose replayed
+                # epoch was committed by pre-upgrade code
+                if tomb_stage is not None and "ckpt=" in tomb_stage and tomb_stage != stage:
                     raise ValueError(
                         f"partition '{bucket}' of table '{table}' was compacted "
                         f"away after a commit from stage '{tomb_stage}', but stage "

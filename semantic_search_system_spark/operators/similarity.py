@@ -21,6 +21,8 @@ index, so:
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -34,16 +36,29 @@ from ..spec import round_half_away as _round_half_away
 # rare by construction, but a burst of out-of-distribution queries is a cost
 # event an operator must be able to SEE — every probe ticks `queries`, every
 # signal-escalated probe also ticks `escalations`. Process-local (per driver),
-# like any server's request counters; scrape via ``probe_stats()``.
+# like any server's request counters; lock-guarded because serving tiers (and
+# this repo's own build_graph) drive concurrent driver threads — unlocked
+# read-modify-write would drop ticks exactly during the bursts the counter
+# exists to observe. Scrape via ``probe_stats()``.
 _PROBE_STATS = {"queries": 0, "escalations": 0}
+_PROBE_STATS_LOCK = threading.Lock()
+
+
+def _tick_probe(escalated: bool) -> None:
+    with _PROBE_STATS_LOCK:
+        _PROBE_STATS["queries"] += 1
+        if escalated:
+            _PROBE_STATS["escalations"] += 1
 
 
 def probe_stats() -> dict[str, int]:
-    return dict(_PROBE_STATS)
+    with _PROBE_STATS_LOCK:
+        return dict(_PROBE_STATS)
 
 
 def reset_probe_stats() -> None:
-    _PROBE_STATS.update(queries=0, escalations=0)
+    with _PROBE_STATS_LOCK:
+        _PROBE_STATS.update(queries=0, escalations=0)
 
 
 def _nearest_centroid_udf(cent_rows: list[tuple[int, list[float]]]):
@@ -253,6 +268,25 @@ def build_ivf_index(
         f"sample={fit_sample_hex or 'full'} "
         f"fp={lineage or _input_fingerprint(vectors, id_col, vec_col)}"
     )
+
+    def _sweep_orphan_assign() -> None:
+        # An assign table whose ivf_build stage differs from THIS build's is
+        # the surviving half of a deleted/refit index generation (a crash
+        # between the two rmtrees of a drift refit): keeping it would pair
+        # fresh centroids with a stale corpus's assignments — silently wrong
+        # ANN results with no error. The assignments are derived data, so
+        # replace them (the final commit below recomputes them).
+        if not cat.exists(assign_table):
+            return
+        base = {
+            m["stage"] for m in cat.metrics(assign_table)
+            if m["stage"].startswith("ivf_build")
+        }
+        if base != {stage}:
+            import shutil
+
+            shutil.rmtree(cat.path(assign_table))
+
     if cat.exists(cent_table):
         prior = {m["stage"] for m in cat.metrics(cent_table)}
         if prior and prior != {stage}:
@@ -260,6 +294,7 @@ def build_ivf_index(
                 f"out_root holds an IVF index built with {sorted(prior)}; requested "
                 f"'{stage}' — use a fresh out_root or delete {cent_table}/{assign_table}"
             )
+        _sweep_orphan_assign()
         if cat.exists(assign_table):
             return
         tb = cat.read_arrow(cent_table)
@@ -274,6 +309,7 @@ def build_ivf_index(
         from ..session import local_df
 
         cent = local_df(spark, cent_rows, "centroid_id long, cvec array<double>")
+        _sweep_orphan_assign()
         cat.commit_partitions(
             # n_centroids rows — one task, not one per shuffle partition
             cent.coalesce(1).withColumn("bucket", F.lit(0)),
@@ -408,18 +444,20 @@ def ivf_topk_indexed(
         np.where(denom > 0, (C @ q) / np.where(denom == 0, 1.0, denom), 0.0), 6
     )
     order = np.lexsort((cids, -qsim))  # (-qsim, centroid_id) ascending
-    _PROBE_STATS["queries"] += 1
-    if signal_min is not None and len(qsim) and float(qsim[order[0]]) < signal_min:
+    escalated = (
+        signal_min is not None and len(qsim) and float(qsim[order[0]]) < signal_min
+    )
+    _tick_probe(bool(escalated))
+    if escalated:
         n_probe = min(len(cids), spec.DOC_IVF_ESCALATE_FACTOR * n_probe)
-        _PROBE_STATS["escalations"] += 1
     probe = [int(c) for c in cids[order[:n_probe]]]
     want = {str(c) for c in probe}
-    man_keys = cat.manifest(assign_table)["partitions"]
+    man_parts = cat.manifest(assign_table)["partitions"]
     keys = [
-        k for k in man_keys
+        k for k in man_parts
         if k in want or ("_" in k and k.rsplit("_", 1)[1] in want)
     ]
-    hits = cat.read_buckets(spark, assign_table, keys)
+    hits = cat.read_buckets(spark, assign_table, keys, partitions=man_parts)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         hits.select(id_col, F.round(cosine_sim(F.col("_v"), qv), 6).alias("sim"))

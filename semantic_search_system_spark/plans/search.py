@@ -547,12 +547,38 @@ def _doc_keyed_vecs(df: DataFrame) -> DataFrame:
     )
 
 
-def _manifest_partitions(table_dir: str) -> dict[str, dict] | None:
+def _read_manifest(table_dir: str) -> dict | None:
     p = os.path.join(table_dir, "_manifest.json")
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return json.load(f)["partitions"]
+        return json.load(f)
+
+
+def _coverage_state(key: str, covers: dict, snaps: list[dict], _seen: frozenset = frozenset()):
+    """How much of partition ``key``'s content the index already covers:
+    'all' (skip it), 'none' (appendable as a whole), or 'mixed' (a compaction
+    output folding covered AND uncovered source keys together — the covered
+    rows can't be isolated by partition pruning, so the caller refits).
+    Compaction outputs (``c<gen>_<bucket>``) are resolved through their
+    snapshot's ``compacted_from`` recursively: content moved by compaction
+    is NOT new data."""
+    if key in covers:
+        return "all"
+    if key in _seen:  # defensive: malformed self-referential snapshot chain
+        return "mixed"
+    bucket = key.rsplit("_", 1)[-1]
+    srcs = None
+    for s in snaps:
+        if s.get("stage", "").startswith("compact_gen") and key in s.get("partitions", []):
+            srcs = [k for k in s.get("compacted_from", []) if k.rsplit("_", 1)[-1] == bucket]
+            break
+    if srcs is None:
+        return "none"  # a plain partition the index has never seen
+    if not srcs:
+        return "all"  # empty compaction output for this bucket — nothing to index
+    states = {_coverage_state(k, covers, snaps, _seen | {key}) for k in srcs}
+    return states.pop() if len(states) == 1 else "mixed"
 
 
 def ensure_doc_ivf(
@@ -586,6 +612,13 @@ def ensure_doc_ivf(
       the index is REFIT from scratch over the grown corpus (the measured
       drift threshold: past it the frozen fit sample no longer represents
       the corpus);
+    - COMPACTION of already-covered partitions (``compact_stream_epochs`` —
+      mandatory maintenance at scale) is content-preserving, so the covers
+      diff resolves ``c<gen>_*`` keys through their snapshots'
+      ``compacted_from`` (``_coverage_state``) and keeps serving; a
+      compaction that folded covered and NEVER-covered epochs together is
+      refit (the covered rows can't be isolated by partition pruning) — run
+      ensure (append) before compacting to keep maintenance at append cost;
     - anything else (recommitted/removed partitions) → raise: a rewritten
       corpus invalidates existing assignments and needs an explicit rebuild.
     """
@@ -594,7 +627,9 @@ def ensure_doc_ivf(
     from ..operators.similarity import append_ivf_assignments, build_ivf_index
 
     src_dir = cat.path(source_table)
-    parts = _manifest_partitions(src_dir)
+    man = _read_manifest(src_dir)
+    parts = man["partitions"] if man is not None else None
+    snaps = man.get("snapshots", []) if man is not None else []
     cur = {k: e["snapshot_id"] for k, e in parts.items()} if parts is not None else None
 
     if cat.exists(DOC_IVF_CENT) and cat.exists(DOC_IVF_ASSIGN) and cur is not None:
@@ -602,43 +637,64 @@ def ensure_doc_ivf(
         params = cat.get_property(DOC_IVF_CENT, "params")
         fit_rows = cat.get_property(DOC_IVF_CENT, "fit_rows")
         if covers is not None and params is not None:
-            if covers == cur:
-                return tuple(params)
-            if all(cur.get(k) == v for k, v in covers.items()):
-                new_keys = sorted(k for k in cur if k not in covers)
-                total_rows = sum(e["rows_written"] for e in parts.values())
-                if fit_rows and total_rows - fit_rows > spec.DOC_IVF_DRIFT_REFIT_FRAC * fit_rows:
-                    # measured drift beyond the contract → full refit over
-                    # the grown corpus (delete + rebuild below)
-                    shutil.rmtree(cat.path(DOC_IVF_CENT), ignore_errors=True)
-                    shutil.rmtree(cat.path(DOC_IVF_ASSIGN), ignore_errors=True)
-                else:
-                    import hashlib
-
-                    appended = cat.read_buckets(spark, source_table, new_keys)
-                    _assert_canonical_ids(appended)
-                    tag = hashlib.md5(
-                        ";".join(f"{k}:{cur[k]}" for k in new_keys).encode()
-                    ).hexdigest()[:8]
-                    append_ivf_assignments(
-                        spark,
-                        cat,
-                        _doc_keyed_vecs(appended),
-                        tag,
-                        id_col="doc_key",
-                        cent_table=DOC_IVF_CENT,
-                        assign_table=DOC_IVF_ASSIGN,
-                        stage=f"ivf_append tag={tag} fp={_manifest_lineage(src_dir)}",
-                    )
-                    cat.set_property(DOC_IVF_CENT, "covers", cur)
-                    return tuple(params)
-            else:
+            compacted = {k for s in snaps for k in s.get("compacted_from", [])}
+            intact = all(
+                cur.get(k) == v or (k not in cur and k in compacted)
+                for k, v in covers.items()
+            )
+            if not intact:
                 raise ValueError(
                     f"doc-IVF index covers source partitions that were "
                     f"recommitted or removed in '{source_table}' — a rewritten "
                     f"corpus invalidates the stored assignments; delete "
                     f"{DOC_IVF_CENT}/{DOC_IVF_ASSIGN} to rebuild"
                 )
+            state = {
+                k: _coverage_state(k, covers, snaps) for k in cur if k not in covers
+            }
+            new_keys = sorted(k for k, s in state.items() if s == "none")
+            mixed = sorted(k for k, s in state.items() if s == "mixed")
+            if not new_keys and not mixed:
+                # unchanged, or pure compaction of covered content — refresh
+                # covers so the next diff is against the compacted layout
+                if covers != cur:
+                    cat.set_property(DOC_IVF_CENT, "covers", cur)
+                return tuple(params)
+            total_rows = sum(e["rows_written"] for e in parts.values())
+            drifted = (
+                fit_rows
+                and total_rows - fit_rows > spec.DOC_IVF_DRIFT_REFIT_FRAC * fit_rows
+            )
+            if mixed or drifted:
+                # measured drift beyond the contract, or a compaction that
+                # swallowed never-indexed epochs → full refit over the grown
+                # corpus (delete + rebuild below). Assign table FIRST: a
+                # crash between the two leaves centroids without assignments
+                # (rebuilt consistently below), never fresh centroids paired
+                # with a stale corpus's assignments — and rmtree failures
+                # must surface, not leave half an index behind silently.
+                shutil.rmtree(cat.path(DOC_IVF_ASSIGN))
+                shutil.rmtree(cat.path(DOC_IVF_CENT))
+            else:
+                import hashlib
+
+                appended = cat.read_buckets(spark, source_table, new_keys, partitions=parts)
+                _assert_canonical_ids(appended)
+                tag = hashlib.md5(
+                    ";".join(f"{k}:{cur[k]}" for k in new_keys).encode()
+                ).hexdigest()[:8]
+                append_ivf_assignments(
+                    spark,
+                    cat,
+                    _doc_keyed_vecs(appended),
+                    tag,
+                    id_col="doc_key",
+                    cent_table=DOC_IVF_CENT,
+                    assign_table=DOC_IVF_ASSIGN,
+                    stage=f"ivf_append tag={tag} fp={_manifest_lineage(src_dir)}",
+                )
+                cat.set_property(DOC_IVF_CENT, "covers", cur)
+                return tuple(params)
 
     n_docs = sum(e["rows_written"] for e in parts.values()) if parts else None
     if n_docs is None:  # source not catalog-committed (ad-hoc frame)
@@ -661,9 +717,12 @@ def ensure_doc_ivf(
         lineage=_manifest_lineage(src_dir),
     )
     if cur is not None:
-        cat.set_property(DOC_IVF_CENT, "covers", cur)
-        cat.set_property(DOC_IVF_CENT, "params", [n_centroids, n_probe])
-        cat.set_property(DOC_IVF_CENT, "fit_rows", n_docs)
+        # ONE atomic manifest save: a partial triple would disable the
+        # serve/append fast path on the next call (catalog.set_properties)
+        cat.set_properties(
+            DOC_IVF_CENT,
+            {"covers": cur, "params": [n_centroids, n_probe], "fit_rows": n_docs},
+        )
     return n_centroids, n_probe
 
 
@@ -918,6 +977,20 @@ ENTITY_FREQ_K = 100
 _EXP_CACHE: dict[tuple[str, str], tuple[str, list[tuple[str, int]]]] = {}
 
 
+def _entity_freq_table(source_table: str) -> str:
+    """One statistic table PER SOURCE: two serving processes pointing one
+    out_root at different sources ('enriched' vs 'enriched_stream') must not
+    alternate rebuilds of a shared table — each call would see the other's
+    lineage as stale and re-run the corpus aggregation silently on EVERY
+    query. Distinct names make the lineages independent (the table is K rows
+    at any corpus scale, so an extra copy costs nothing)."""
+    return (
+        ENTITY_FREQ_TABLE
+        if source_table == "enriched"
+        else f"{ENTITY_FREQ_TABLE}_{source_table}"
+    )
+
+
 def ensure_entity_freq(
     spark: SparkSession, cat, enriched: DataFrame, source_table: str = "enriched"
 ) -> None:
@@ -932,10 +1005,11 @@ def ensure_entity_freq(
     therefore gated). NULL entity terms are excluded at build time so the
     served lookup stays bit-identical to the in-plan derivation (whose
     ``~isin`` predicate drops NULLs) even under malformed extractions."""
+    tbl = _entity_freq_table(source_table)
     lineage = _manifest_lineage(cat.path(source_table))
     stage = f"entity_freq k={ENTITY_FREQ_K} fp={lineage}"
-    if cat.exists(ENTITY_FREQ_TABLE):
-        prior = {m["stage"] for m in cat.metrics(ENTITY_FREQ_TABLE)}
+    if cat.exists(tbl):
+        prior = {m["stage"] for m in cat.metrics(tbl)}
         if not prior or prior == {stage}:
             return
         # stale lineage → fall through to the overwrite below
@@ -949,12 +1023,12 @@ def ensure_entity_freq(
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(ENTITY_FREQ_K)
     )
-    cat.overwrite(
-        top.coalesce(1).withColumn("bucket", F.lit(0)), ENTITY_FREQ_TABLE, stage=stage
-    )
+    cat.overwrite(top.coalesce(1).withColumn("bucket", F.lit(0)), tbl, stage=stage)
 
 
-def _expansion_terms_served(cat, terms: list[str]) -> list[str]:
+def _expansion_terms_served(
+    cat, terms: list[str], table: str = ENTITY_FREQ_TABLE
+) -> list[str]:
     """Top-3 expansion terms from the materialized frequency table — a
     driver-side lookup memoized by manifest snapshot ids (the centroid-cache
     pattern), bit-identical to ``_expansion_terms`` over the same corpus
@@ -962,16 +1036,16 @@ def _expansion_terms_served(cat, terms: list[str]) -> list[str]:
     only consume |terms| of the K materialized rows."""
     if len(terms) + 3 > ENTITY_FREQ_K:
         raise ValueError(f"query has too many terms for the {ENTITY_FREQ_K}-row stats")
-    man = cat.manifest(ENTITY_FREQ_TABLE)
+    man = cat.manifest(table)
     ident = ";".join(
         f"{pid}:{e['snapshot_id']}" for pid, e in sorted(man["partitions"].items())
     )
-    key = (cat.root, ENTITY_FREQ_TABLE)
+    key = (cat.root, table)
     hit = _EXP_CACHE.get(key)
     if hit is not None and hit[0] == ident:
         rows = hit[1]
     else:
-        tb = cat.read_arrow(ENTITY_FREQ_TABLE)
+        tb = cat.read_arrow(table)
         rows = sorted(
             # drop NULL terms defensively (a pre-guard table could hold one;
             # None also breaks the (-n, term) sort key on a count tie)
@@ -1072,7 +1146,7 @@ def pro_search_enhanced_ann(
         spark, cat, enriched, qvec, semantic_k, n_probe, source_table=source_table
     )
     ensure_entity_freq(spark, cat, enriched, source_table=source_table)
-    exp_terms = _expansion_terms_served(cat, terms)
+    exp_terms = _expansion_terms_served(cat, terms, table=_entity_freq_table(source_table))
     fused = _hybrid(enriched, semantic_k, terms, qvec, fuzziness, sem_hits=sem_hits)
     return _enhanced_tail(fused, enriched, terms, qvec, k, exp_terms=exp_terms)
 

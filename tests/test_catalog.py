@@ -175,3 +175,34 @@ def test_zero_partition_table_reads_back_empty(spark, tmp_root):
     assert set(back.columns) == {"doc_id", "stage", "bucket"}
     # read_buckets of only-missing partitions is a valid empty miss too
     assert cat.read_buckets(spark, "failed_rows", [5, 6]).count() == 0
+
+
+def test_legacy_tombstone_replay_after_upgrade_skips(spark, tmp_root, sample):
+    """Upgrade path for the tombstone stage guard: an epoch committed by
+    PRE-checkpoint-identity code (stage without ' ckpt=') and compacted away
+    can be replayed by the SAME stream after an upgrade — the replay now
+    carries the new stage format, and the legacy tombstone can't tell it
+    from new data. The guard must fall back to the legacy skip (never
+    doubling rows, never raising) instead of permanently halting a stream
+    that did exactly what the error message asks: resume its checkpoint."""
+    cat = Catalog(tmp_root)
+    epoch = sample.withColumn(BUCKET_COL, F.concat_ws("_", F.lit(0), F.col(BUCKET_COL)))
+    cat.commit_partitions(epoch, "es", stage="stream_epoch_0")  # pre-upgrade format
+    assert cat.compact_stream_epochs(spark, "es")
+    # post-upgrade crash replay of the same epoch, same checkpoint
+    cat.commit_partitions(epoch, "es", stage="stream_epoch_0 ckpt=aaaa1111")
+    assert cat.read(spark, "es").count() == 100  # skipped: not doubled, not raised
+
+
+def test_set_properties_single_save(tmp_root):
+    """The doc-IVF covers/params/fit_rows triple must land in ONE manifest
+    save — a crash can never publish a subset (which would disable the
+    serve/append fast path and send the next call down the rebuild path)."""
+    cat = Catalog(tmp_root)
+    cat.set_properties(
+        "t", {"covers": {"0_1": "s"}, "params": [8, 3], "fit_rows": 10}
+    )
+    fresh = Catalog(tmp_root)
+    assert fresh.get_property("t", "covers") == {"0_1": "s"}
+    assert fresh.get_property("t", "params") == [8, 3]
+    assert fresh.get_property("t", "fit_rows") == 10

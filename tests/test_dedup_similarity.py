@@ -460,3 +460,126 @@ def test_doc_ivf_drift_refit_and_rewrite_guard(spark, tmp_root):
 
     with pytest.raises(ValueError, match="recommitted or removed"):
         S.ensure_doc_ivf(spark, cat, enr2, source_table="enriched_stream")
+
+
+def test_doc_ivf_survives_compaction_of_covered_epochs(spark, tmp_root):
+    """compact_stream_epochs is mandatory maintenance at scale; folding
+    ALREADY-COVERED epochs is content-preserving, so ensure_doc_ivf must
+    keep serving (no raise, no refit — the round-6 brick this machinery
+    exists to remove must not come back through the maintenance door),
+    refresh ``covers`` to the compacted layout, and still take the
+    frozen-centroid append path for epochs streamed AFTER the compaction."""
+    import os
+    import shutil
+
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.plans import search as S
+    from semantic_search_system_spark.streaming.incremental import enrich_stream
+
+    src, later, held = _split_corpus_files(spark, tmp_root, 6)  # ~1/3 appended < drift
+    out, ckpt = tmp_root + "/out", tmp_root + "/ckpt"
+    enrich_stream(spark, src, out, ckpt).awaitTermination(180)
+    cat = Catalog(out)
+    enr = cat.read(spark, "enriched_stream")
+    params = S.ensure_doc_ivf(spark, cat, enr, source_table="enriched_stream")
+    cent_snap = cat.manifest(S.DOC_IVF_CENT)["snapshots"][-1]["snapshot_id"]
+
+    assert cat.compact_stream_epochs(spark, "enriched_stream")
+    enr = cat.read(spark, "enriched_stream")
+    assert S.ensure_doc_ivf(spark, cat, enr, source_table="enriched_stream") == params
+    assert cat.manifest(S.DOC_IVF_CENT)["snapshots"][-1]["snapshot_id"] == cent_snap
+    # covers refreshed to the compacted layout so the NEXT diff is clean
+    covers = cat.get_property(S.DOC_IVF_CENT, "covers")
+    assert set(covers) == set(cat.manifest("enriched_stream")["partitions"])
+    assert S.pro_search_ann(spark, cat, enr, source_table="enriched_stream").collect()
+
+    # epochs streamed AFTER the compaction still append to frozen centroids
+    for f in held:
+        shutil.move(os.path.join(later, f), os.path.join(src, f))
+    enrich_stream(spark, src, out, ckpt).awaitTermination(180)
+    enr2 = cat.read(spark, "enriched_stream")
+    assert S.ensure_doc_ivf(spark, cat, enr2, source_table="enriched_stream") == params
+    assert cat.manifest(S.DOC_IVF_CENT)["snapshots"][-1]["snapshot_id"] == cent_snap
+    akeys = [k for k in cat.manifest(S.DOC_IVF_ASSIGN)["partitions"] if k.startswith("a")]
+    assert akeys, "expected frozen-centroid append partitions after compaction"
+
+
+def test_doc_ivf_refits_when_compaction_folds_uncovered_epochs(spark, tmp_root):
+    """A compaction that folded covered and NEVER-INDEXED epochs into one
+    partition makes the covered rows inseparable by partition pruning — the
+    index must REFIT over the full corpus (self-healing) rather than raise
+    or silently double/miss rows. (Run ensure before compacting to keep
+    maintenance at append cost — this test is the out-of-order path.)"""
+    import os
+    import shutil
+
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.plans import search as S
+    from semantic_search_system_spark.streaming.incremental import enrich_stream
+
+    src, later, held = _split_corpus_files(spark, tmp_root, 6)  # append 1/3 < drift
+    out, ckpt = tmp_root + "/out", tmp_root + "/ckpt"
+    enrich_stream(spark, src, out, ckpt).awaitTermination(180)
+    cat = Catalog(out)
+    n_base = cat.read(spark, "enriched_stream").count()
+    S.ensure_doc_ivf(
+        spark, cat, cat.read(spark, "enriched_stream"), source_table="enriched_stream"
+    )
+    cent_snap = cat.manifest(S.DOC_IVF_CENT)["snapshots"][-1]["snapshot_id"]
+
+    for f in held:  # new epochs land UNINDEXED, then compaction folds them in
+        shutil.move(os.path.join(later, f), os.path.join(src, f))
+    enrich_stream(spark, src, out, ckpt).awaitTermination(180)
+    assert cat.compact_stream_epochs(spark, "enriched_stream")
+    enr2 = cat.read(spark, "enriched_stream")
+    n_full = enr2.count()
+    assert n_full > n_base
+    assert n_full - n_base <= spec.DOC_IVF_DRIFT_REFIT_FRAC * n_base  # mixed, not drift
+
+    params = S.ensure_doc_ivf(spark, cat, enr2, source_table="enriched_stream")
+    assert params == S.doc_ivf_params(n_full)
+    assert cat.manifest(S.DOC_IVF_CENT)["snapshots"][-1]["snapshot_id"] != cent_snap
+    assert cat.get_property(S.DOC_IVF_CENT, "fit_rows") == n_full
+    # the refit index covers every doc exactly once
+    assert cat.read(spark, S.DOC_IVF_ASSIGN).count() == n_full
+
+
+def test_doc_ivf_orphan_assign_swept_on_rebuild(spark, tmp_root):
+    """A crash between the drift-refit's two deletes (or a manual delete of
+    only the centroid table) leaves the assign table as the surviving half
+    of the OLD index generation. build_ivf_index must sweep and recompute
+    it — fresh centroids silently paired with a stale corpus's assignments
+    would drop every appended doc from ANN results with no error."""
+    import os
+    import shutil
+
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.plans import search as S
+    from semantic_search_system_spark.streaming.incremental import enrich_stream
+
+    src, later, held = _split_corpus_files(spark, tmp_root, 6)
+    out, ckpt = tmp_root + "/out", tmp_root + "/ckpt"
+    enrich_stream(spark, src, out, ckpt).awaitTermination(180)
+    cat = Catalog(out)
+    S.ensure_doc_ivf(
+        spark, cat, cat.read(spark, "enriched_stream"), source_table="enriched_stream"
+    )
+    # simulate the interrupted refit: centroid table gone, assign table stale
+    shutil.rmtree(cat.path(S.DOC_IVF_CENT))
+    for f in held:
+        shutil.move(os.path.join(later, f), os.path.join(src, f))
+    enrich_stream(spark, src, out, ckpt).awaitTermination(180)
+    enr2 = cat.read(spark, "enriched_stream")
+    n_full = enr2.count()
+
+    S.ensure_doc_ivf(spark, cat, enr2, source_table="enriched_stream")
+    # the stale half was replaced: assignments cover the FULL corpus and
+    # carry the same build stage as the fresh centroids
+    assert cat.read(spark, S.DOC_IVF_ASSIGN).count() == n_full
+    cent_stages = {m["stage"] for m in cat.metrics(S.DOC_IVF_CENT)}
+    assign_build_stages = {
+        m["stage"]
+        for m in cat.metrics(S.DOC_IVF_ASSIGN)
+        if m["stage"].startswith("ivf_build")
+    }
+    assert assign_build_stages == cent_stages

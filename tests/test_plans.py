@@ -308,3 +308,36 @@ def test_ann_search_plan_prunes_cosine_and_buckets(spark):
             # over the corpus per query (Generate = Spark's explode node)
             assert "Generate" not in plan
         assert df.count() == len(df.take(100)) <= 10
+
+
+def test_entity_freq_per_source_tables_do_not_thrash(spark, tmp_root):
+    """Two serving paths pointing one out_root at DIFFERENT sources
+    ('enriched' vs 'enriched_stream') must not alternate rebuilds of a
+    shared statistic — each source gets its own K-row table with its own
+    lineage, and ensuring one leaves the other's manifest untouched."""
+    from semantic_search_system_spark.catalog import Catalog, with_bucket
+    from semantic_search_system_spark.plans import search as S
+
+    cat = Catalog(tmp_root)
+    ddl = "doc_id string, entities array<struct<text:string,label:string>>"
+
+    def commit(table, rows):
+        df = with_bucket(spark.createDataFrame(rows, ddl), "doc_id", 1)
+        cat.overwrite(df, table, stage="enrich")
+        return cat.read(spark, table)
+
+    enr = commit("enriched", [("1", [("alpha", "ENTITY")])])
+    stream = commit("enriched_stream", [("2", [("beta", "ENTITY")])])
+
+    S.ensure_entity_freq(spark, cat, enr, source_table="enriched")
+    snap = cat.manifest(S.ENTITY_FREQ_TABLE)["partitions"]["0"]["snapshot_id"]
+
+    # alternate sources repeatedly: distinct tables, zero rebuilds of either
+    for _ in range(2):
+        S.ensure_entity_freq(spark, cat, stream, source_table="enriched_stream")
+        S.ensure_entity_freq(spark, cat, enr, source_table="enriched")
+    assert cat.manifest(S.ENTITY_FREQ_TABLE)["partitions"]["0"]["snapshot_id"] == snap
+    stream_tbl = S._entity_freq_table("enriched_stream")
+    assert stream_tbl != S.ENTITY_FREQ_TABLE and cat.exists(stream_tbl)
+    assert S._expansion_terms_served(cat, ["zzz"]) == ["alpha"]
+    assert S._expansion_terms_served(cat, ["zzz"], table=stream_tbl) == ["beta"]
