@@ -198,6 +198,11 @@ _TAIL = [
     "media_ref_integrity",
     "customer_balance_stats", "distinct_parts_per_supplier",
     "filter_project", "union_distinct_orders", "orders_rollup",
+    # NEW round 7 (tail by design — the 50-row window is spoken for this
+    # round): graph-consumer read queries over the materialized KG with full
+    # hash oracles; the pytest oracle-parity replay gives them hash-grade
+    # evidence until a future rotation grants driver rows
+    "graph_degree_topk", "graph_related_docs",
 ]
 
 

@@ -1314,6 +1314,89 @@ def graph_subgraph_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_degree_topk",
+    oracle=f"""
+    WITH deg AS (
+      SELECT node_id, CAST(sum(n) AS BIGINT) AS degree FROM (
+        SELECT src AS node_id, count(*) AS n
+        FROM read_parquet('{ORACLE_EDGES_GLOB}') GROUP BY src
+        UNION ALL
+        SELECT dst AS node_id, count(*) AS n
+        FROM read_parquet('{ORACLE_EDGES_GLOB}') GROUP BY dst
+      ) GROUP BY node_id)
+    SELECT d.node_id, n.kind, d.degree
+    FROM deg d JOIN read_parquet('{ORACLE_NODES_GLOB}') n ON n.node_id = d.node_id
+    ORDER BY d.degree DESC, d.node_id ASC LIMIT 20
+    """,
+)
+def graph_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree centrality over the materialized KG — the 'most connected
+    nodes' question a Neo4j operator asks of the reference's graph
+    (knowledge_graph/knowledge_graph.py:151-189 edge set). Scale shape: two
+    map-side-combinable counts over the edges scan unioned BEFORE the final
+    per-node sum (no join between the directions), the node-kind lookup joins
+    the 20-row-bounded aggregate against the vocabulary-sized nodes table,
+    and the top-k compiles to TakeOrderedAndProject."""
+    nodes, edges = _graph_tables(spark, sf_dir)
+    deg = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.join(F.broadcast(nodes.select("node_id", "kind")), "node_id")
+        .select("node_id", "kind", "degree")
+        .orderBy(F.desc("degree"), F.asc("node_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "graph_related_docs",
+    oracle=f"""
+    WITH m AS (SELECT src AS doc, dst AS ent
+               FROM read_parquet('{ORACLE_EDGES_GLOB}') WHERE rel = 'MENTIONS'),
+    anchor AS (SELECT min(doc) AS doc FROM m),
+    ae AS (SELECT DISTINCT ent FROM m WHERE doc = (SELECT doc FROM anchor))
+    SELECT m.doc AS doc_id, CAST(count(DISTINCT m.ent) AS BIGINT) AS shared_entities
+    FROM m JOIN ae ON m.ent = ae.ent
+    WHERE m.doc <> (SELECT doc FROM anchor)
+    GROUP BY m.doc
+    ORDER BY shared_entities DESC, doc_id ASC LIMIT 10
+    """,
+)
+def graph_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop doc → entity → doc traversal: 'more like this' through the KG
+    instead of the embedding space — docs ranked by how many of the anchor
+    doc's entities they share (the graph-side counterpart of knn_cosine_top10,
+    over the same MENTIONS edges the reference materializes,
+    knowledge_graph/knowledge_graph.py:118-126). Scale shape: the anchor's
+    entity set is one doc's mentions (broadcast), the MENTIONS scan is
+    semi-filtered by it before the per-doc aggregate, and the only shuffle
+    is the map-side-combinable countDistinct on the bounded candidate set —
+    never doc×doc."""
+    _, edges = _graph_tables(spark, sf_dir)
+    m = edges.where(F.col("rel") == spec.PRED_MENTIONS).select(
+        F.col("src").alias("doc"), F.col("dst").alias("ent")
+    )
+    anchor = m.agg(F.min("doc").alias("anchor_doc"))
+    ae = (
+        m.join(F.broadcast(anchor), F.col("doc") == F.col("anchor_doc"))
+        .select("ent")
+        .distinct()
+    )
+    return (
+        m.join(F.broadcast(ae), "ent")
+        .join(F.broadcast(anchor), F.col("doc") != F.col("anchor_doc"))
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(F.countDistinct("ent").alias("shared_entities"))
+        .orderBy(F.desc("shared_entities"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 # =====================================================================
 # Dedup family + ANN (training-data pipeline operators)
 # =====================================================================
