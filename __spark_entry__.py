@@ -202,7 +202,7 @@ _TAIL = [
     # round): graph-consumer read queries over the materialized KG with full
     # hash oracles; the pytest oracle-parity replay gives them hash-grade
     # evidence until a future rotation grants driver rows
-    "graph_degree_topk", "graph_related_docs",
+    "graph_degree_topk", "graph_related_docs", "graph_pagerank",
 ]
 
 
