@@ -1367,6 +1367,37 @@ def graph_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY shared_entities DESC, doc_id ASC LIMIT 10
     """,
 )
+def graph_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop doc → entity → doc traversal: 'more like this' through the KG
+    instead of the embedding space — docs ranked by how many of the anchor
+    doc's entities they share (the graph-side counterpart of knn_cosine_top10,
+    over the same MENTIONS edges the reference materializes,
+    knowledge_graph/knowledge_graph.py:118-126). Scale shape: the anchor's
+    entity set is one doc's mentions (broadcast), the MENTIONS scan is
+    semi-filtered by it before the per-doc aggregate, and the only shuffle
+    is the map-side-combinable countDistinct on the bounded candidate set —
+    never doc×doc."""
+    _, edges = _graph_tables(spark, sf_dir)
+    m = edges.where(F.col("rel") == spec.PRED_MENTIONS).select(
+        F.col("src").alias("doc"), F.col("dst").alias("ent")
+    )
+    anchor = m.agg(F.min("doc").alias("anchor_doc"))
+    ae = (
+        m.join(F.broadcast(anchor), F.col("doc") == F.col("anchor_doc"))
+        .select("ent")
+        .distinct()
+    )
+    return (
+        m.join(F.broadcast(ae), "ent")
+        .join(F.broadcast(anchor), F.col("doc") != F.col("anchor_doc"))
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(F.countDistinct("ent").alias("shared_entities"))
+        .orderBy(F.desc("shared_entities"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+
 def _pagerank_oracle_sql(n_iter: int = 5) -> str:
     """Fixed-iteration PageRank unrolled as CTEs (the DOC_IVF k-means
     pattern: a deterministic iterative algorithm IS SQL-expressible when the
@@ -1422,36 +1453,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.select("node_id", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node_id"))
         .limit(20)
-    )
-
-
-def graph_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-hop doc → entity → doc traversal: 'more like this' through the KG
-    instead of the embedding space — docs ranked by how many of the anchor
-    doc's entities they share (the graph-side counterpart of knn_cosine_top10,
-    over the same MENTIONS edges the reference materializes,
-    knowledge_graph/knowledge_graph.py:118-126). Scale shape: the anchor's
-    entity set is one doc's mentions (broadcast), the MENTIONS scan is
-    semi-filtered by it before the per-doc aggregate, and the only shuffle
-    is the map-side-combinable countDistinct on the bounded candidate set —
-    never doc×doc."""
-    _, edges = _graph_tables(spark, sf_dir)
-    m = edges.where(F.col("rel") == spec.PRED_MENTIONS).select(
-        F.col("src").alias("doc"), F.col("dst").alias("ent")
-    )
-    anchor = m.agg(F.min("doc").alias("anchor_doc"))
-    ae = (
-        m.join(F.broadcast(anchor), F.col("doc") == F.col("anchor_doc"))
-        .select("ent")
-        .distinct()
-    )
-    return (
-        m.join(F.broadcast(ae), "ent")
-        .join(F.broadcast(anchor), F.col("doc") != F.col("anchor_doc"))
-        .groupBy(F.col("doc").alias("doc_id"))
-        .agg(F.countDistinct("ent").alias("shared_entities"))
-        .orderBy(F.desc("shared_entities"), F.asc("doc_id"))
-        .limit(10)
     )
 
 
