@@ -238,7 +238,10 @@ All runs:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "COMMIT_FLOOR.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"best": {str(k): v for k, v in best.items()}}))
+    print(json.dumps({
+        "best_triples": {str(k): v for k, v in best_t.items()},
+        "best_graph": {str(k): v for k, v in best_g.items()},
+    }))
 
 
 if __name__ == "__main__":
