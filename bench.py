@@ -219,6 +219,12 @@ HEADLINE_QUERIES = [
     "search_simple",
     "search_advanced",
     "search_kb",
+    # round-7 graph consumers over the materialized KG (degree centrality,
+    # 2-hop related docs, 5-iteration PageRank) — the read-side counterpart
+    # of the kg_pipeline build number above
+    "graph_degree_topk",
+    "graph_related_docs",
+    "graph_pagerank",
     "spans_kind_counts",
 ]
 
