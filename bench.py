@@ -229,6 +229,40 @@ HEADLINE_QUERIES = [
 ]
 
 
+def box_probe(spark) -> dict:
+    """Contention probe, safe to run inside the bench session: fixed pure-JVM
+    sha2 work run twice — all cores (64 tasks) and one task. Fixed work means
+    wall-clock tracks ONLY current noisy-neighbor pressure, and the two shapes
+    separate the VM's two degradation modes: parallel-throughput collapse
+    (shared memory bus / stolen cores — inflates par, leaves seq alone; the
+    mode measured this round: pure-CPU 1-to-4-core speedup fell from the
+    2.1-2.3x historical ceiling to 1.32x while single-thread python was
+    normal) and whole-box slowdown (inflates both). Recorded at bench start
+    AND end because this VM can degrade mid-run (round 6 lost ~2x between
+    draws). Compare a slow draw against the SAME round's probes and the
+    probes against prior BENCH_r*.json before reading any query delta as a
+    regression."""
+    def _run(n_rows: int, n_parts: int) -> float:
+        t0 = time.time()
+        df = spark.range(0, n_rows, 1, n_parts).selectExpr("cast(id as string) s")
+        for _ in range(4):
+            df = df.selectExpr("sha2(s, 256) s")
+        df.selectExpr("max(s)").collect()
+        return time.time() - t0
+
+    # untimed full-size warmup ONCE per process: pay whole-stage codegen and
+    # the C2 JIT tiers outside the timed runs (a light warmup still drifts
+    # ~2x over 3 calls); then min-of-3 per shape — the same best-of-N
+    # statistic the query timings use, for the same ±2x-noise reason
+    if not getattr(box_probe, "_warm", False):
+        _run(2_000_000, 64)
+        box_probe._warm = True
+    return {
+        "jvm_par_sec": round(min(_run(2_000_000, 64) for _ in range(3)), 2),
+        "jvm_1task_sec": round(min(_run(100_000, 1) for _ in range(3)), 2),
+    }
+
+
 def default_bench(sf_dir: str, cpus: int) -> None:
     from semantic_search_system_spark import entrypoints as ep
     from semantic_search_system_spark.session import get_spark
@@ -236,6 +270,7 @@ def default_bench(sf_dir: str, cpus: int) -> None:
     spark = get_spark("bench", master=f"local[{cpus}]")
     # warm the session (JVM/codegen) so query timings measure the plans
     spark.range(1000).count()
+    probe_start = box_probe(spark)
 
     # best-of-3: this sandbox VM has ±2x run-to-run noise; min wall-clock is
     # the closest estimate of true capability under noisy neighbors (the
@@ -294,6 +329,11 @@ def default_bench(sf_dir: str, cpus: int) -> None:
         "triples_per_sec": pipe["triples_per_sec"],
         "triples_per_sec_incl_count": pipe["triples_per_sec_incl_count"],
         "cpus": cpus,
+        # contention probes at start/end of the run — read a slow draw
+        # against these (and these against prior rounds' probes) before
+        # reading any query delta as a regression
+        "box_probe_start": probe_start,
+        "box_probe_end": box_probe(spark),
     }
     print(json.dumps(result))
 
