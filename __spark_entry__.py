@@ -104,11 +104,12 @@ _PRIORITY = [
     # #2) and the signal-adaptive escalation's cross-engine proof (a query
     # with no centroid signal must probe EVERY bucket in both engines)
     "search_pro_ann_params", "search_pro_ann_nosignal",
-    # round-4 window rotations: token_budget_pack was REWRITTEN in round 3
-    # (two-pass prefix-sum) with only pytest-parity evidence, and
-    # hash_sample_stratified never had a driver row (VERDICT r03 'What's
-    # missing' #2) — both have full hash oracles
-    "token_budget_pack", "hash_sample_stratified",
+    # NEW round 7: graph-consumer read queries over the materialized KG,
+    # in-window for debut-round driver rows (the policy every new operator
+    # has followed since round 4) — degree centrality, 2-hop related docs,
+    # and 5-iteration PageRank whose DuckDB oracle unrolls the same damped
+    # recurrence as CTEs (the doc-IVF k-means pattern)
+    "graph_degree_topk", "graph_related_docs", "graph_pagerank",
     # round-7 freshness rotation (VERDICT r06 #4): the last tail queries
     # whose driver rows were r01-r03 — rotated in for driver-recorded
     # evidence on current code; after this round every oracle's driver row
@@ -141,9 +142,15 @@ _PRIORITY = [
     # self-join) vs the oracle's independent self-join derivation
     "entity_cooccurrence",
     # core relational operators
-    "pricing_summary", "entity_position_backjoin",
+    "pricing_summary",
 ]
 _TAIL = [
+    # round-7 demotions funding the graph-consumer debut rows above: all
+    # three carry hash-green r06 driver rows on code unchanged in round 7
+    # (token_budget_pack/hash_sample_stratified also green r4+r5; the
+    # md5-threshold machinery stays in-window via source_mix_sample, and
+    # J5's back-join evidence keeps its r06 row)
+    "token_budget_pack", "hash_sample_stratified", "entity_position_backjoin",
     # round-7 demotions funding the freshness rotation above: all seven got
     # hash-green r06 driver rows (json_props_extract/change_detection_
     # fullouter/semi_anti_customers/minmax_normalize_orders/centroid_per_
@@ -198,11 +205,6 @@ _TAIL = [
     "media_ref_integrity",
     "customer_balance_stats", "distinct_parts_per_supplier",
     "filter_project", "union_distinct_orders", "orders_rollup",
-    # NEW round 7 (tail by design — the 50-row window is spoken for this
-    # round): graph-consumer read queries over the materialized KG with full
-    # hash oracles; the pytest oracle-parity replay gives them hash-grade
-    # evidence until a future rotation grants driver rows
-    "graph_degree_topk", "graph_related_docs", "graph_pagerank",
 ]
 
 
