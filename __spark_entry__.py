@@ -132,6 +132,11 @@ _PRIORITY = [
     # hash oracle in round 3 (brute-force pairs over SQL-derived fingerprints;
     # valid because banding has proven recall 1.0 at the radius)
     "minhash_lsh_dedup", "simhash_near_dups",
+    # NEW round 7: epoch-incremental dedup against the materialized signature
+    # store — only the new epoch is hashed, history contributes signatures;
+    # the oracle recomputes the full corpus and filters to the same epoch
+    # membership, so the hash match proves the incremental plan is lossless
+    "incremental_minhash_dedup",
     "embedding_near_dup", "exact_dup_groups", "knn_cosine_top10", "ann_ivf_top10",
     # text-analysis / LLM-pipeline ops
     "top5_entities_per_doc", "keywords_tfidf",
@@ -141,10 +146,12 @@ _PRIORITY = [
     # NEW round 6: entity co-occurrence edges — per-row pair generation (no
     # self-join) vs the oracle's independent self-join derivation
     "entity_cooccurrence",
-    # core relational operators
-    "pricing_summary",
 ]
 _TAIL = [
+    # round-7 late demotion funding incremental_minhash_dedup's debut row:
+    # hash-green in r6 (and every round since r1) on unchanged code; its A3
+    # count-per-group evidence also lives in-window via entity_cooccurrence
+    "pricing_summary",
     # round-7 demotions funding the graph-consumer debut rows above: all
     # three carry hash-green r06 driver rows on code unchanged in round 7
     # (token_budget_pack/hash_sample_stratified also green r4+r5; the

@@ -1531,6 +1531,96 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(_dup_corpus(spark, sf_dir), jaccard_threshold=0.5)
 
 
+# Deterministic epoch split for the incremental-dedup demonstration: ~20% of
+# the dup corpus is the "new epoch" (md5 keeps the rule engine-agnostic; the
+# same md5-threshold machinery as hash_sample_stratified).
+_INCR_NEW_SQL = "('0x' || substr(md5(doc_id), 1, 4))::BIGINT % 5 = 0"
+
+
+def _incr_is_new(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long") % 5 == 0
+
+
+MINHASH_STORE_TABLE = "minhash_sigs"
+
+
+def ensure_minhash_store(spark: SparkSession, cat, corpus: DataFrame) -> None:
+    """Materialize (idempotently) the MinHash signature store for the
+    accumulated (non-new) corpus — ``doc_id, minhash`` (n_perm longs per
+    doc, the ONLY state continuous dedup needs; shingle sets are never
+    stored). The stage string carries the corpus fingerprint so a changed
+    corpus triggers an automatic rebuild (the entity_freq_topk pattern);
+    in a streaming deployment new epochs' signatures are APPENDED via the
+    same epoch-scoped ``commit_partitions`` keys the doc-IVF assign path
+    uses, so the store grows without rewrites."""
+    from .operators.dedup import with_minhash, with_shingles
+
+    n = corpus.count()  # parquet-metadata count: cheap, deterministic
+    stage = f"minhash_store v{spec.SPEC_VERSION} n_perm=16 split=md5p5 fp={n}"
+    if cat.exists(MINHASH_STORE_TABLE):
+        prior = {m["stage"] for m in cat.metrics(MINHASH_STORE_TABLE)}
+        if not prior or prior == {stage}:
+            return
+    old = corpus.where(~_incr_is_new(F.col("doc_id")))
+    par = spark.sparkContext.defaultParallelism
+    sigs = with_minhash(
+        with_shingles(old.repartition(par, "doc_id")).select("doc_id", "shingles")
+    ).withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int"))
+    cat.overwrite(sigs, MINHASH_STORE_TABLE, stage=stage)
+
+
+@query(
+    "incremental_minhash_dedup",
+    oracle=f"""
+    WITH {_DUP_CORPUS_SQL},
+    hs AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+      FROM sh),
+    mh AS (
+      SELECT doc_id, shingles,
+             [{", ".join(f"list_min(list_transform(h, x -> ({a} * x + {b}) % {_MINHASH_P}))" for a, b in _MINHASH_AB)}] AS sig
+      FROM hs),
+    banded AS (
+      SELECT doc_id, shingles, b,
+             array_to_string(sig[b*4+1 : b*4+4], '|') AS key
+      FROM (SELECT doc_id, shingles, sig, unnest(generate_series(0, 3)) AS b FROM mh)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE ({_INCR_NEW_SQL.replace('doc_id', 'a.doc_id')})
+         OR ({_INCR_NEW_SQL.replace('doc_id', 'b.doc_id')}))
+    SELECT c.src, c.dst,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+    FROM cand c JOIN sh sa ON c.src = sa.doc_id JOIN sh sb ON c.dst = sb.doc_id
+    WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.5
+    """,
+)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous dedup at corpus scale: near-dup pairs touching the NEW
+    epoch (a deterministic ~20% md5 split), where history contributes only
+    its persisted signature store — no re-shingling or re-hashing of old
+    docs outside the candidate-sized verify set. The oracle recomputes the
+    whole corpus in SQL and filters pairs to the same membership rule, so
+    the hash match proves the incremental plan loses nothing vs a full
+    rerun (the LSH bucket identity is exactly reproduced from the store).
+    Reference analog: the processed-flag work queue (`ingest/
+    pr_meta_store.py:55-63`) — upgraded so the "already processed" state is
+    a queryable signature table instead of a boolean."""
+    from .catalog import Catalog
+    from .operators.dedup import incremental_minhash_near_dups
+
+    corpus = _dup_corpus(spark, sf_dir)
+    cat = Catalog(out_root(sf_dir))
+    ensure_minhash_store(spark, cat, corpus)
+    old_sigs = cat.read(spark, MINHASH_STORE_TABLE).select("doc_id", "minhash")
+    return incremental_minhash_near_dups(
+        corpus, _incr_is_new(F.col("doc_id")), old_sigs, jaccard_threshold=0.5
+    )
+
+
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""

@@ -90,13 +90,14 @@ def with_minhash(df: DataFrame, id_col: str = "doc_id", n_perm: int = 16) -> Dat
     )
 
 
-def lsh_candidate_pairs(
+def banded_signature_keys(
     df: DataFrame, id_col: str = "doc_id", n_perm: int = 16, n_bands: int = 4
 ) -> DataFrame:
-    """Band the signature (rows = n_perm/n_bands) and bucket-join: docs sharing
-    any band key become candidate pairs (src < dst dedup'd across bands)."""
+    """(id, band, key) rows: the signature split into n_bands keys of
+    n_perm/n_bands rows each — the LSH bucket identity. Map-only; shared by
+    the batch pair join and the incremental new-vs-store join."""
     rows = n_perm // n_bands
-    banded = df.select(
+    return df.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -111,6 +112,14 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "key"),
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", n_perm: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows = n_perm/n_bands) and bucket-join: docs sharing
+    any band key become candidate pairs (src < dst dedup'd across bands)."""
+    banded = banded_signature_keys(df, id_col, n_perm, n_bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -162,6 +171,85 @@ def minhash_near_dups(
     return (
         cand.join(a, "src")
         .join(b, "dst")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("src", "dst", "jaccard")
+    )
+
+
+def incremental_minhash_near_dups(
+    docs: DataFrame,
+    is_new,
+    old_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 16,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Epoch-incremental MinHash-LSH dedup: the near-dup pairs of the FULL
+    corpus that involve at least one NEW doc, computed WITHOUT re-hashing
+    history.
+
+    This is the 100-TB shape of continuous dedup (the reference's
+    work-queue protocol, `ingest/pr_meta_store.py:55-63`, upgraded the way
+    §2.11 upgrades checkpoints): the corpus accumulates for years, a new
+    epoch arrives, and the only doc-proportional work permitted is over the
+    epoch. ``old_sigs`` is the persisted signature store (``doc_id,
+    minhash`` — n_perm longs/doc, the only state dedup needs); only
+    ``is_new`` docs are shingled + hashed here, and history text is
+    re-shingled ONLY for the candidate-sized verify set (shingle sets are
+    never stored — they are corpus-sized).
+
+    Join shape at scale: the epoch's banded keys are epoch-sized, so the
+    new-vs-store join is a broadcast (AQE picks it at runtime); the store
+    side is scanned once, map-only, no all-pairs anywhere. Result equals
+    ``minhash_near_dups(full_corpus)`` filtered to pairs touching a new doc
+    (pinned by test_incremental_minhash_equals_filtered_full).
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    new_docs = docs.where(is_new)
+    sh_new = (
+        with_shingles(new_docs.repartition(par, id_col), text_col)
+        .select(id_col, "shingles")
+        .localCheckpoint(eager=True)
+    )
+    sig_new = with_minhash(sh_new, id_col, n_perm).localCheckpoint(eager=True)
+    b_new = banded_signature_keys(sig_new, id_col, n_perm, n_bands)
+    b_old = banded_signature_keys(old_sigs, id_col, n_perm, n_bands)
+    a = b_new.alias("a")
+    b = b_new.alias("b")
+    nn = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst"))
+    )
+    n = b_new.alias("n")
+    o = b_old.alias("o")
+    no = (
+        n.join(o, (F.col("n.band") == F.col("o.band")) & (F.col("n.key") == F.col("o.key")))
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("src"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("dst"),
+        )
+    )
+    cand = nn.union(no).distinct().localCheckpoint(eager=True)
+    touched = (
+        cand.select(F.col("src").alias(id_col))
+        .union(cand.select(F.col("dst").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = (
+        with_shingles(docs.join(touched, id_col, "left_semi"), text_col)
+        .select(id_col, "shingles")
+    )
+    va = sh_cand.select(F.col(id_col).alias("src"), F.col("shingles").alias("sh_a"))
+    vb = sh_cand.select(F.col(id_col).alias("dst"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(va, "src")
+        .join(vb, "dst")
         .withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("src", "dst", "jaccard")

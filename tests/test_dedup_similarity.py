@@ -111,6 +111,67 @@ def test_ngram_jaccard_blocked(spark):
     assert pairs[("a", "a_copy")] == 1.0
 
 
+def test_incremental_minhash_equals_filtered_full(spark):
+    """Losslessness contract: the epoch-incremental plan (new docs hashed,
+    history contributing only its signature store) finds EXACTLY the full
+    rerun's near-dup pairs that touch a new doc — same pairs, same verified
+    jaccard values."""
+    from semantic_search_system_spark import entrypoints as E
+    from semantic_search_system_spark.operators.dedup import (
+        incremental_minhash_near_dups,
+        with_minhash,
+    )
+
+    corpus = E._dup_corpus(spark, SF_SMALL)
+    is_new = E._incr_is_new(F.col("doc_id"))
+    old_sigs = with_minhash(
+        with_shingles(corpus.where(~is_new)).select("doc_id", "shingles")
+    )
+    inc = {
+        (r["src"], r["dst"], r["jaccard"])
+        for r in incremental_minhash_near_dups(corpus, is_new, old_sigs).collect()
+    }
+    new_ids = {r["doc_id"] for r in corpus.where(is_new).select("doc_id").collect()}
+    full = {
+        (r["src"], r["dst"], r["jaccard"])
+        for r in minhash_near_dups(corpus, jaccard_threshold=0.5).collect()
+        if r["src"] in new_ids or r["dst"] in new_ids
+    }
+    assert new_ids and full, "split must produce a non-vacuous epoch with dup pairs"
+    assert inc == full
+
+
+def test_minhash_store_idempotent_and_rebuilds(spark, tmp_root):
+    """The signature store is built once (second ensure is a no-op — same
+    manifest snapshots) and rebuilt automatically when the corpus
+    fingerprint changes (the entity_freq_topk lineage pattern)."""
+    from semantic_search_system_spark import entrypoints as E
+    from semantic_search_system_spark.catalog import Catalog
+
+    cat = Catalog(tmp_root)
+    corpus = E._dup_corpus(spark, SF_SMALL)
+    E.ensure_minhash_store(spark, cat, corpus)
+    snap1 = {
+        pid: e["snapshot_id"]
+        for pid, e in cat.manifest(E.MINHASH_STORE_TABLE)["partitions"].items()
+    }
+    E.ensure_minhash_store(spark, cat, corpus)
+    snap2 = {
+        pid: e["snapshot_id"]
+        for pid, e in cat.manifest(E.MINHASH_STORE_TABLE)["partitions"].items()
+    }
+    assert snap1 == snap2, "unchanged corpus must not rebuild the store"
+    grown = corpus.unionByName(
+        corpus.limit(3).select(
+            F.concat(F.lit("extra_"), F.col("doc_id")).alias("doc_id"), "text"
+        )
+    )
+    E.ensure_minhash_store(spark, cat, grown)
+    stages = {m["stage"] for m in cat.metrics(E.MINHASH_STORE_TABLE)}
+    assert len(stages) == 1 and "fp=" in next(iter(stages))
+    assert next(iter(stages)) != f"minhash_store v{E.spec.SPEC_VERSION} n_perm=16 split=md5p5 fp={corpus.count()}"
+
+
 def test_ivf_index_materialized(spark, tmp_root):
     """The IVF index is built ONCE through the Catalog (idempotent resume) and
     probes read only the matching bucket=<centroid> partition directories;
