@@ -1622,6 +1622,81 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "epoch_admission",
+    oracle=f"""
+    WITH {_DUP_CORPUS_SQL},
+    hs AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+      FROM sh),
+    mh AS (
+      SELECT doc_id, shingles,
+             [{", ".join(f"list_min(list_transform(h, x -> ({a} * x + {b}) % {_MINHASH_P}))" for a, b in _MINHASH_AB)}] AS sig
+      FROM hs),
+    banded AS (
+      SELECT doc_id, shingles, b,
+             array_to_string(sig[b*4+1 : b*4+4], '|') AS key
+      FROM (SELECT doc_id, shingles, sig, unnest(generate_series(0, 3)) AS b FROM mh)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE ({_INCR_NEW_SQL.replace('doc_id', 'a.doc_id')})
+         OR ({_INCR_NEW_SQL.replace('doc_id', 'b.doc_id')})),
+    pairs AS (
+      SELECT src, dst FROM cand c
+      JOIN sh sa ON c.src = sa.doc_id JOIN sh sb ON c.dst = sb.doc_id
+      WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                  / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.5),
+    dirs AS (
+      SELECT src AS d, dst AS p FROM pairs
+      UNION ALL SELECT dst AS d, src AS p FROM pairs),
+    blockers AS (
+      SELECT d AS doc_id, min(p) AS dup_of FROM dirs
+      WHERE ({_INCR_NEW_SQL.replace('doc_id', 'd')})
+        AND (NOT ({_INCR_NEW_SQL.replace('doc_id', 'p')}) OR p < d)
+      GROUP BY d)
+    SELECT n.doc_id, b.dup_of IS NULL AS admitted, b.dup_of
+    FROM (SELECT doc_id FROM corpus WHERE {_INCR_NEW_SQL}) n
+    LEFT JOIN blockers b ON n.doc_id = b.doc_id
+    """,
+)
+def epoch_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production admission decision on top of incremental dedup: a new
+    epoch doc enters the training corpus iff it near-duplicates neither
+    history (history always wins — admitted docs are never retro-dropped)
+    nor an earlier (smaller-id) doc of its own epoch. Emits every new doc
+    with its verdict and the minimum blocking partner (NULL = admitted).
+    Membership is a pure function of the doc id, so blocker classification
+    needs no join back to the corpus — the predicate is applied directly to
+    the partner id in both engines."""
+    from .catalog import Catalog
+    from .operators.dedup import incremental_minhash_near_dups
+
+    corpus = _dup_corpus(spark, sf_dir)
+    cat = Catalog(out_root(sf_dir))
+    ensure_minhash_store(spark, cat, corpus)
+    old_sigs = cat.read(spark, MINHASH_STORE_TABLE).select("doc_id", "minhash")
+    pairs = incremental_minhash_near_dups(
+        corpus, _incr_is_new(F.col("doc_id")), old_sigs, jaccard_threshold=0.5
+    )
+    dirs = pairs.select(F.col("src").alias("d"), F.col("dst").alias("p")).unionByName(
+        pairs.select(F.col("dst").alias("d"), F.col("src").alias("p"))
+    )
+    blockers = (
+        dirs.where(
+            _incr_is_new(F.col("d"))
+            & (~_incr_is_new(F.col("p")) | (F.col("p") < F.col("d")))
+        )
+        .groupBy(F.col("d").alias("doc_id"))
+        .agg(F.min("p").alias("dup_of"))
+    )
+    new_docs = corpus.where(_incr_is_new(F.col("doc_id"))).select("doc_id")
+    return new_docs.join(blockers, "doc_id", "left").select(
+        "doc_id", F.col("dup_of").isNull().alias("admitted"), "dup_of"
+    )
+
+
+@query(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH t AS (
