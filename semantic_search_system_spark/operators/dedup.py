@@ -186,10 +186,15 @@ def incremental_minhash_near_dups(
     n_perm: int = 16,
     n_bands: int = 4,
     jaccard_threshold: float = 0.5,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Epoch-incremental MinHash-LSH dedup: the near-dup pairs of the FULL
     corpus that involve at least one NEW doc, computed WITHOUT re-hashing
     history.
+
+    ``checkpoint=False`` keeps the full lineage in one logical plan (the
+    multi-consumed frames are normally eagerly localCheckpoint'ed) so plan
+    tests can assert the store scan is really the history source.
 
     This is the 100-TB shape of continuous dedup (the reference's
     work-queue protocol, `ingest/pr_meta_store.py:55-63`, upgraded the way
@@ -208,13 +213,13 @@ def incremental_minhash_near_dups(
     (pinned by test_incremental_minhash_equals_filtered_full).
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
+    ckpt = (lambda d: d.localCheckpoint(eager=True)) if checkpoint else (lambda d: d)
     new_docs = docs.where(is_new)
-    sh_new = (
+    sh_new = ckpt(
         with_shingles(new_docs.repartition(par, id_col), text_col)
         .select(id_col, "shingles")
-        .localCheckpoint(eager=True)
     )
-    sig_new = with_minhash(sh_new, id_col, n_perm).localCheckpoint(eager=True)
+    sig_new = ckpt(with_minhash(sh_new, id_col, n_perm))
     b_new = banded_signature_keys(sig_new, id_col, n_perm, n_bands)
     b_old = banded_signature_keys(old_sigs, id_col, n_perm, n_bands)
     a = b_new.alias("a")
@@ -233,7 +238,7 @@ def incremental_minhash_near_dups(
             F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("dst"),
         )
     )
-    cand = nn.union(no).distinct().localCheckpoint(eager=True)
+    cand = ckpt(nn.union(no).distinct())
     touched = (
         cand.select(F.col("src").alias(id_col))
         .union(cand.select(F.col("dst").alias(id_col)))

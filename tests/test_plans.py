@@ -153,9 +153,33 @@ def test_dedup_family_never_cartesian(spark):
     band/block equi-join — an all-pairs CartesianProduct in any of these
     plans is a 100-TB outage, not a slowdown."""
     for name in ("minhash_lsh_dedup", "ngram_jaccard_pairs", "simhash_near_dups",
-                 "embedding_near_dup"):
+                 "embedding_near_dup", "incremental_minhash_dedup",
+                 "epoch_admission"):
         plan = _plan(ep.registry()[name](spark, SF_MED))
         assert "CartesianProduct" not in plan, name
+
+
+def test_incremental_dedup_reads_signature_store(spark):
+    """The incremental path's history signatures must come from the
+    materialized minhash_sigs scan — if the store ever fell out of the plan
+    the operator would silently degrade to re-hashing the full corpus per
+    epoch (correct output, 100-TB regression). Built with checkpoint=False
+    so the eager localCheckpoints don't truncate the visible lineage."""
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.operators.dedup import (
+        incremental_minhash_near_dups,
+    )
+
+    corpus = ep._dup_corpus(spark, SF_MED)
+    cat = Catalog(ep.out_root(SF_MED))
+    ep.ensure_minhash_store(spark, cat, corpus)
+    old_sigs = cat.read(spark, ep.MINHASH_STORE_TABLE).select("doc_id", "minhash")
+    df = incremental_minhash_near_dups(
+        corpus, ep._incr_is_new(F.col("doc_id")), old_sigs, checkpoint=False
+    )
+    plan = _plan(df)
+    assert "minhash_sigs" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_ivf_probe_scans_only_probed_partitions(spark, tmp_root):
