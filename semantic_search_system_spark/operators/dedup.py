@@ -212,14 +212,41 @@ def incremental_minhash_near_dups(
     ``minhash_near_dups(full_corpus)`` filtered to pairs touching a new doc
     (pinned by test_incremental_minhash_equals_filtered_full).
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    ckpt = (lambda d: d.localCheckpoint(eager=True)) if checkpoint else (lambda d: d)
-    new_docs = docs.where(is_new)
-    sh_new = ckpt(
-        with_shingles(new_docs.repartition(par, id_col), text_col)
-        .select(id_col, "shingles")
+    return incremental_pairs(
+        docs.where(is_new), docs, old_sigs, id_col, text_col,
+        n_perm, n_bands, jaccard_threshold, checkpoint,
     )
-    sig_new = ckpt(with_minhash(sh_new, id_col, n_perm))
+
+
+def incremental_pairs(
+    new_docs: DataFrame,
+    all_docs: DataFrame,
+    old_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 16,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    checkpoint: bool = True,
+    new_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Core of the incremental dedup, shared by the batch operator above and
+    the streaming ``dedup_stream`` epochs: ``new_docs`` is the epoch,
+    ``all_docs`` the accumulated corpus (consulted only for the
+    candidate-sized verify re-shingle), ``old_sigs`` the persisted store.
+    ``new_docs`` must be disjoint from the docs behind ``old_sigs``.
+    ``new_sigs`` short-circuits the epoch's signature computation when the
+    caller already materialized it (the stream computes signatures once and
+    both commits them to the store and joins with them here)."""
+    ckpt = (lambda d: d.localCheckpoint(eager=True)) if checkpoint else (lambda d: d)
+    if new_sigs is None:
+        par = new_docs.sparkSession.sparkContext.defaultParallelism
+        sh_new = ckpt(
+            with_shingles(new_docs.repartition(par, id_col), text_col)
+            .select(id_col, "shingles")
+        )
+        new_sigs = ckpt(with_minhash(sh_new, id_col, n_perm))
+    sig_new = new_sigs
     b_new = banded_signature_keys(sig_new, id_col, n_perm, n_bands)
     b_old = banded_signature_keys(old_sigs, id_col, n_perm, n_bands)
     a = b_new.alias("a")
@@ -245,7 +272,7 @@ def incremental_minhash_near_dups(
         .distinct()
     )
     sh_cand = (
-        with_shingles(docs.join(touched, id_col, "left_semi"), text_col)
+        with_shingles(all_docs.join(touched, id_col, "left_semi"), text_col)
         .select(id_col, "shingles")
     )
     va = sh_cand.select(F.col(id_col).alias("src"), F.col("shingles").alias("sh_a"))

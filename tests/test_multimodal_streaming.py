@@ -423,3 +423,77 @@ def test_decoder_registry_plugin(spark):
     # without the plugin, fake=False must quarantine (stub boundary intact)
     bad = extract_media_features(media, fake=False).collect()
     assert bad and not any(r["decode_ok"] for r in bad)
+
+
+def test_dedup_stream_matches_batch(spark, tmp_root):
+    """Continuous dedup as a stream (round 7): (a) the union of per-epoch
+    pair tables equals the full-corpus MinHash pair set — every near-dup
+    pair lands exactly once, in the epoch of its later member; (b) the
+    admission verdicts equal an independent derivation from the full pair
+    set + the ACTUAL epoch assignment (history wins, then smaller id within
+    an epoch); (c) the signature store accumulates every doc across epochs
+    without rewrites."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from semantic_search_system_spark import entrypoints as E
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.operators.dedup import minhash_near_dups
+    from semantic_search_system_spark.streaming.incremental import dedup_stream
+
+    corpus = E._dup_corpus(spark, SF_SMALL).localCheckpoint(eager=True)
+    pdf = corpus.toPandas()
+    base = pdf[~pdf.doc_id.str.startswith("dup_")]
+    dups = pdf[pdf.doc_id.str.startswith("dup_")]
+    src = os.path.join(tmp_root, "docs_in")
+    os.makedirs(src)
+    # three files -> three epochs at maxFilesPerTrigger=1; the planted dups
+    # arrive last so their pairs are guaranteed cross-epoch
+    base.iloc[: len(base) // 2].to_parquet(os.path.join(src, "f0.parquet"), index=False)
+    base.iloc[len(base) // 2 :].to_parquet(os.path.join(src, "f1.parquet"), index=False)
+    dups.to_parquet(os.path.join(src, "f2.parquet"), index=False)
+
+    out = os.path.join(tmp_root, "out")
+    q = dedup_stream(spark, src, out, os.path.join(tmp_root, "ckpt"))
+    q.awaitTermination(300)
+    cat = Catalog(out)
+    epochs = {e["stage"] for e in cat.manifest("minhash_sigs_stream")["snapshots"]}
+    assert len(epochs) >= 2, f"expected multiple epochs, got {epochs}"
+
+    streamed_pairs = {
+        (r["src"], r["dst"], r["jaccard"])
+        for r in cat.read(spark, "dedup_pairs_stream")
+        .select("src", "dst", "jaccard").collect()
+    }
+    full_pairs = {
+        (r["src"], r["dst"], r["jaccard"])
+        for r in minhash_near_dups(corpus, jaccard_threshold=0.5).collect()
+    }
+    assert full_pairs and streamed_pairs == full_pairs
+
+    epoch_of = {
+        r["doc_id"]: int(r["bucket"].split("_")[0])
+        for r in cat.read(spark, "docs_stream").select("doc_id", "bucket").collect()
+    }
+    assert len(epoch_of) == corpus.count()
+    # the premise: at least one pair spans epochs
+    assert any(epoch_of[s] != epoch_of[d] for s, d, _ in full_pairs)
+
+    partners: dict[str, set[str]] = {}
+    for s, d, _ in full_pairs:
+        partners.setdefault(s, set()).add(d)
+        partners.setdefault(d, set()).add(s)
+    expected = {}
+    for doc, e in epoch_of.items():
+        blk = [
+            p for p in partners.get(doc, ())
+            if epoch_of[p] < e or (epoch_of[p] == e and p < doc)
+        ]
+        expected[doc] = (not blk, min(blk) if blk else None)
+    got = {
+        r["doc_id"]: (r["admitted"], r["dup_of"])
+        for r in cat.read(spark, "admission_stream").collect()
+    }
+    assert got == expected
+    assert cat.read(spark, "minhash_sigs_stream").count() == len(epoch_of)
