@@ -497,3 +497,65 @@ def test_dedup_stream_matches_batch(spark, tmp_root):
     }
     assert got == expected
     assert cat.read(spark, "minhash_sigs_stream").count() == len(epoch_of)
+
+
+def test_dedup_stream_resumes_after_compaction(spark, tmp_root):
+    """The dedup stream's tables are compaction-compatible: after folding
+    the epoch-scoped partitions into canonical c<gen>_<bucket> buckets, a
+    resumed stream (same checkpoint) processes a NEW epoch against the
+    compacted store — prior-epoch signature reads treat compacted keys as
+    history (they carry no current-epoch prefix), pairs against the new
+    docs land, and nothing is doubled or lost."""
+    import os
+
+    import pandas as pd
+
+    from semantic_search_system_spark import entrypoints as E
+    from semantic_search_system_spark.catalog import Catalog
+    from semantic_search_system_spark.operators.dedup import minhash_near_dups
+    from semantic_search_system_spark.streaming.incremental import dedup_stream
+
+    corpus = E._dup_corpus(spark, SF_SMALL).localCheckpoint(eager=True)
+    pdf = corpus.toPandas()
+    base = pdf[~pdf.doc_id.str.startswith("dup_")]
+    dups = pdf[pdf.doc_id.str.startswith("dup_")]
+    src = os.path.join(tmp_root, "docs_in")
+    os.makedirs(src)
+    base.to_parquet(os.path.join(src, "f0.parquet"), index=False)
+    out = os.path.join(tmp_root, "out")
+    ckpt = os.path.join(tmp_root, "ckpt")
+    dedup_stream(spark, src, out, ckpt).awaitTermination(300)
+    cat = Catalog(out)
+    n_docs_before = cat.read(spark, "docs_stream").count()
+    for tbl in ("docs_stream", "minhash_sigs_stream", "admission_stream"):
+        cat.compact_stream_epochs(spark, tbl)
+    assert all(
+        k.startswith("c") for k in cat.manifest("minhash_sigs_stream")["partitions"]
+    )
+    # the dup docs arrive AFTER compaction, on the same checkpoint
+    dups.to_parquet(os.path.join(src, "f1.parquet"), index=False)
+    dedup_stream(spark, src, out, ckpt).awaitTermination(300)
+    assert cat.read(spark, "docs_stream").count() == len(pdf)
+    assert cat.read(spark, "minhash_sigs_stream").count() == len(pdf)
+    assert (
+        cat.read(spark, "minhash_sigs_stream").select("doc_id").distinct().count()
+        == len(pdf)
+    )
+    streamed_pairs = {
+        (r["src"], r["dst"], r["jaccard"])
+        for r in cat.read(spark, "dedup_pairs_stream")
+        .select("src", "dst", "jaccard").collect()
+    }
+    full_pairs = {
+        (r["src"], r["dst"], r["jaccard"])
+        for r in minhash_near_dups(corpus, jaccard_threshold=0.5).collect()
+    }
+    assert full_pairs and streamed_pairs == full_pairs
+    # every planted dup doc is correctly refused against compacted history
+    got = {
+        r["doc_id"]: r["admitted"]
+        for r in cat.read(spark, "admission_stream").collect()
+    }
+    assert len(got) == n_docs_before + len(dups)
+    exact_dups = {f"dup_{i}" for i in range(50)} & set(dups.doc_id)
+    assert exact_dups and not any(got[d] for d in exact_dups)
