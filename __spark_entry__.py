@@ -148,10 +148,12 @@ _PRIORITY = [
     "entity_cooccurrence",
 ]
 _TAIL = [
-    # round-7 addition, tail-registered (window full at 50; r8 rotation
-    # candidate): the admission verdict derived from the incremental pair
-    # set — full hash oracle, replayed by pytest parity every run
-    "epoch_admission",
+    # round-7 additions, tail-registered (window full at 50; r8 rotation
+    # candidates): the admission verdict derived from the incremental pair
+    # set, and chunk-grained exact-substring dedup (the sub-document
+    # duplication signal doc-level MinHash misses) — full hash oracles,
+    # replayed by pytest parity every run
+    "epoch_admission", "exact_chunk_dedup",
     # round-7 late demotion funding incremental_minhash_dedup's debut row:
     # hash-green in r6 (and every round since r1) on unchanged code; its A3
     # count-per-group evidence also lives in-window via entity_cooccurrence

@@ -1531,6 +1531,71 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(_dup_corpus(spark, sf_dir), jaccard_threshold=0.5)
 
 
+@query(
+    "exact_chunk_dedup",
+    oracle=f"""
+    WITH {_DUP_CORPUS_SQL},
+    ch AS (
+      SELECT doc_id, list_distinct(
+               list_transform(generate_series(0, len(toks) // 16 - 1),
+                              i -> array_to_string(toks[i*16+1 : i*16+16], ' '))
+             ) AS chunks
+      FROM t WHERE len(toks) >= 16),
+    dc AS (SELECT doc_id, unnest(chunks) AS chunk FROM ch),
+    shared AS (
+      SELECT chunk FROM dc GROUP BY chunk HAVING count(DISTINCT doc_id) > 1)
+    SELECT dc.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(s.chunk) AS BIGINT) AS n_dup_chunks,
+           round(CAST(count(s.chunk) AS DOUBLE) / count(*), 6) AS dup_ratio
+    FROM dc LEFT JOIN shared s ON dc.chunk = s.chunk
+    GROUP BY dc.doc_id
+    """,
+)
+def exact_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, chunk-grained (the Lee et al. 2022
+    'Deduplicating Training Data' method's disjoint-window approximation):
+    each doc is cut into disjoint 16-token chunks; a chunk present verbatim
+    in another doc marks sub-document duplication that doc-level MinHash
+    misses (boilerplate, quoted passages). Emits per doc the distinct-chunk
+    count, how many are shared with any other doc, and the ratio — the
+    C4-style quality signal. One explode + two hash aggregations; the
+    chunk-frequency side is bounded by distinct chunks, never doc x doc."""
+    corpus = _dup_corpus(spark, sf_dir)
+    toks = F.col("_toks")
+    n_chunks = F.floor(F.size(toks) / 16).cast("int")
+    chunks = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * 16 + 1, 16), " "),
+        )
+    )
+    dc = (
+        corpus.withColumn("_toks", F.split(clean_text_col(F.col("text")), " "))
+        .where(F.size(toks) >= 16)
+        .select("doc_id", F.explode(chunks).alias("chunk"))
+        .localCheckpoint(eager=True)
+    )
+    shared = (
+        dc.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") > 1)
+        .select("chunk", F.lit(True).alias("_shared"))
+    )
+    return (
+        dc.join(shared, "chunk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count("_shared").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id", "n_chunks", "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6).alias("dup_ratio"),
+        )
+    )
+
+
 # Deterministic epoch split for the incremental-dedup demonstration: ~20% of
 # the dup corpus is the "new epoch" (md5 keeps the rule engine-agnostic; the
 # same md5-threshold machinery as hash_sample_stratified).
