@@ -457,8 +457,10 @@ on the same per-doc semantics.
 
 Companion evidence: BENCH/CORPUS_GROWTH.md (throughput vs corpus size at
 fixed cores — 4× data costs 2.25× wall-clock, every stage sub-linear, best
-absolute throughput at the largest corpus) and BENCH/COMMIT_FLOOR.md (the
-per-table commit constant, measured by noop-write vs committed runs).
+absolute throughput at the largest corpus), BENCH/COMMIT_FLOOR.md (the
+per-table commit constant, measured by noop-write vs committed runs) and
+BENCH/INCREMENTAL_DEDUP.md (epoch-incremental dedup vs full rerun — the
+speedup widens with corpus size, the store's 100-TB argument).
 
 Measurement notes: this sandbox is a single shared VM (Firecracker guest,
 Xeon @2.10GHz, 32 hardware threads) with large run-to-run variance; each level
