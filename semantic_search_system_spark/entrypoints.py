@@ -1617,7 +1617,12 @@ def ensure_minhash_store(spark: SparkSession, cat, corpus: DataFrame) -> None:
     corpus triggers an automatic rebuild (the entity_freq_topk pattern);
     in a streaming deployment new epochs' signatures are APPENDED via the
     same epoch-scoped ``commit_partitions`` keys the doc-IVF assign path
-    uses, so the store grows without rewrites."""
+    uses, so the store grows without rewrites. The fingerprint here is the
+    corpus row count — the right cost point for the static benchmark
+    parquet (a content hash would rescan the corpus per query); a
+    catalog-backed source would pass manifest snapshot lineage instead,
+    exactly like ``ensure_doc_ivf``, and ``dedup_stream`` (whose corpus DOES
+    change) never consults this fingerprint — its store is epoch-scoped."""
     from .operators.dedup import with_minhash, with_shingles
 
     n = corpus.count()  # parquet-metadata count: cheap, deterministic

@@ -237,7 +237,11 @@ def incremental_pairs(
     ``new_docs`` must be disjoint from the docs behind ``old_sigs``.
     ``new_sigs`` short-circuits the epoch's signature computation when the
     caller already materialized it (the stream computes signatures once and
-    both commits them to the store and joins with them here)."""
+    both commits them to the store and joins with them here).
+
+    ``all_docs`` may also be a callable ``touched_ids_df -> DataFrame`` so a
+    catalog-backed caller can return a partition-pruned corpus read for the
+    candidate id set instead of a full scan (dedup_stream does)."""
     ckpt = (lambda d: d.localCheckpoint(eager=True)) if checkpoint else (lambda d: d)
     if new_sigs is None:
         par = new_docs.sparkSession.sparkContext.defaultParallelism
@@ -271,8 +275,9 @@ def incremental_pairs(
         .union(cand.select(F.col("dst").alias(id_col)))
         .distinct()
     )
+    corpus = all_docs(touched) if callable(all_docs) else all_docs
     sh_cand = (
-        with_shingles(all_docs.join(touched, id_col, "left_semi"), text_col)
+        with_shingles(corpus.join(touched, id_col, "left_semi"), text_col)
         .select(id_col, "shingles")
     )
     va = sh_cand.select(F.col(id_col).alias("src"), F.col("shingles").alias("sh_a"))

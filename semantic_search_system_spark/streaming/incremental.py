@@ -256,11 +256,30 @@ def dedup_stream(
         sigs = with_minhash(
             with_shingles(epoch).select("doc_id", "shingles")
         ).localCheckpoint(eager=True)
-        # 3. near-dup pairs vs the store as of BEFORE this epoch
+        # 3. near-dup pairs vs the store as of BEFORE this epoch. The verify
+        # re-shingle must NOT scan the whole accumulated corpus: candidate
+        # ids hash to a known set of doc_id buckets, so only the matching
+        # `<epoch>_<bucket>` partitions of docs_stream are read (the IVF
+        # probe pattern — one tiny driver job to learn the buckets, then a
+        # partition-pruned scan; at production n_buckets the pruning is
+        # proportional to the candidate set, not the corpus)
         old_sigs = _prior_epoch_sigs(spark, cat, "minhash_sigs_stream", epoch_id)
-        all_docs = cat.read(spark, "docs_stream").select("doc_id", "text")
+
+        def verify_docs(touched: DataFrame) -> DataFrame:
+            hit = {
+                str(r["b"])
+                for r in touched.select(
+                    F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("b")
+                ).distinct().collect()
+            }
+            keys = [
+                k for k in cat.manifest("docs_stream")["partitions"]
+                if k.rsplit("_", 1)[-1] in hit
+            ]
+            return cat.read_buckets(spark, "docs_stream", keys).select("doc_id", "text")
+
         pairs = incremental_pairs(
-            epoch, all_docs, old_sigs,
+            epoch, verify_docs, old_sigs,
             jaccard_threshold=jaccard_threshold, new_sigs=sigs,
         ).localCheckpoint(eager=True)
         cat.commit_partitions(
