@@ -132,12 +132,15 @@ _PRIORITY = [
     # hash oracle in round 3 (brute-force pairs over SQL-derived fingerprints;
     # valid because banding has proven recall 1.0 at the radius)
     "minhash_lsh_dedup", "simhash_near_dups",
-    # NEW round 7: epoch-incremental dedup against the materialized signature
-    # store — only the new epoch is hashed, history contributes signatures;
-    # the oracle recomputes the full corpus and filters to the same epoch
-    # membership, so the hash match proves the incremental plan is lossless
-    "incremental_minhash_dedup",
-    "embedding_near_dup", "exact_dup_groups", "knn_cosine_top10", "ann_ivf_top10",
+    # NEW round 7: the continuous-dedup family — epoch-incremental dedup
+    # against the materialized signature store (only the new epoch is
+    # hashed; the oracle recomputes the full corpus and filters to the same
+    # epoch membership, so the hash match proves the incremental plan is
+    # lossless), the admission verdict derived from that pair set, and
+    # chunk-grained exact-substring dedup (the sub-document duplication
+    # signal doc-level MinHash misses) — all in-window for debut driver rows
+    "incremental_minhash_dedup", "epoch_admission", "exact_chunk_dedup",
+    "embedding_near_dup", "ann_ivf_top10",
     # text-analysis / LLM-pipeline ops
     "top5_entities_per_doc", "keywords_tfidf",
     "clean_tokenize_docs",
@@ -148,12 +151,12 @@ _PRIORITY = [
     "entity_cooccurrence",
 ]
 _TAIL = [
-    # round-7 additions, tail-registered (window full at 50; r8 rotation
-    # candidates): the admission verdict derived from the incremental pair
-    # set, and chunk-grained exact-substring dedup (the sub-document
-    # duplication signal doc-level MinHash misses) — full hash oracles,
-    # replayed by pytest parity every run
-    "epoch_admission", "exact_chunk_dedup",
+    # round-7 late demotions funding the continuous-dedup debut rows above:
+    # both hash-green in r6 on unchanged code, and their operator evidence
+    # stays in-window redundantly — J7/C11 exact-cosine via ann_ivf_top10
+    # plus six ANN-served search rows; C5/A6 exact-hash dedup via the six
+    # other in-window dedup/similarity rows
+    "knn_cosine_top10", "exact_dup_groups",
     # round-7 late demotion funding incremental_minhash_dedup's debut row:
     # hash-green in r6 (and every round since r1) on unchanged code; its A3
     # count-per-group evidence also lives in-window via entity_cooccurrence
