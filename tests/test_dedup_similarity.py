@@ -644,3 +644,56 @@ def test_doc_ivf_orphan_assign_swept_on_rebuild(spark, tmp_root):
         if m["stage"].startswith("ivf_build")
     }
     assert assign_build_stages == cent_stages
+
+
+def test_incremental_minhash_edge_cases(spark):
+    """Boundary contracts for the incremental kernel: an empty epoch yields
+    no pairs, an all-new epoch against an empty store equals the full batch
+    run, a dup-free epoch yields no pairs, and lexicographic id ordering
+    (\"10\" < \"2\") is applied identically to the batch operator's."""
+    from semantic_search_system_spark.operators.dedup import (
+        incremental_minhash_near_dups,
+        minhash_near_dups,
+        with_minhash,
+    )
+
+    docs = _dup_docs(spark)
+    empty_sigs = spark.createDataFrame([], "doc_id string, minhash array<bigint>")
+    all_sigs = with_minhash(with_shingles(docs).select("doc_id", "shingles"))
+
+    # empty epoch, everything already in the store
+    assert (
+        incremental_minhash_near_dups(docs, F.lit(False), all_sigs).count() == 0
+    )
+    # all-new epoch, empty store == the full batch run
+    inc = {
+        (r["src"], r["dst"], r["jaccard"])
+        for r in incremental_minhash_near_dups(docs, F.lit(True), empty_sigs).collect()
+    }
+    full = {
+        (r["src"], r["dst"], r["jaccard"])
+        for r in minhash_near_dups(docs, jaccard_threshold=0.5).collect()
+    }
+    assert full and inc == full
+    # dup-free corpus: candidates may exist, verified pairs must not
+    clean = docs.where(F.col("doc_id") == "other")
+    assert (
+        incremental_minhash_near_dups(
+            clean, F.lit(True),
+            spark.createDataFrame([], "doc_id string, minhash array<bigint>"),
+        ).count() == 0
+    )
+    # lexicographic pair ordering matches the batch operator ("10" < "2")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    lex = spark.createDataFrame(
+        [("2", base), ("10", base)], "doc_id string, text string"
+    )
+    old_sigs = with_minhash(
+        with_shingles(lex.where(F.col("doc_id") == "2")).select("doc_id", "shingles")
+    )
+    pair = incremental_minhash_near_dups(
+        lex, F.col("doc_id") == "10", old_sigs
+    ).collect()
+    batch_pair = minhash_near_dups(lex, jaccard_threshold=0.5).collect()
+    assert [(r["src"], r["dst"]) for r in pair] == [("10", "2")]
+    assert [(r["src"], r["dst"]) for r in batch_pair] == [("10", "2")]
