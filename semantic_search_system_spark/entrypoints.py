@@ -1339,9 +1339,13 @@ def graph_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 20-row-bounded aggregate against the vocabulary-sized nodes table,
     and the top-k compiles to TakeOrderedAndProject."""
     nodes, edges = _graph_tables(spark, sf_dir)
+    # ONE edges scan: explode each edge into its two endpoints in the same
+    # map task (round 8 — the union-of-two-projections form scanned the
+    # edges table twice for the same per-endpoint counts; plan diff:
+    # 2 parquet scans + Union → 1 scan + Generate, same map-side partial
+    # aggregation, identical counts)
     deg = (
-        edges.select(F.col("src").alias("node_id"))
-        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        edges.select(F.explode(F.array("src", "dst")).alias("node_id"))
         .groupBy("node_id")
         .agg(F.count("*").alias("degree"))
     )
@@ -1381,15 +1385,15 @@ def graph_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = edges.where(F.col("rel") == spec.PRED_MENTIONS).select(
         F.col("src").alias("doc"), F.col("dst").alias("ent")
     )
-    anchor = m.agg(F.min("doc").alias("anchor_doc"))
-    ae = (
-        m.join(F.broadcast(anchor), F.col("doc") == F.col("anchor_doc"))
-        .select("ent")
-        .distinct()
-    )
+    # the anchor is ONE scalar — fetch it driver-side instead of broadcasting
+    # the min-aggregate subtree into two joins (round 8: the before plan
+    # executed the full MENTIONS-scan aggregate twice, once per broadcast
+    # consumer; now it runs once and the anchor filters are literals)
+    anchor_doc = m.agg(F.min("doc")).first()[0]
+    ae = m.where(F.col("doc") == F.lit(anchor_doc)).select("ent").distinct()
     return (
-        m.join(F.broadcast(ae), "ent")
-        .join(F.broadcast(anchor), F.col("doc") != F.col("anchor_doc"))
+        m.where(F.col("doc") != F.lit(anchor_doc))
+        .join(F.broadcast(ae), "ent")
         .groupBy(F.col("doc").alias("doc_id"))
         .agg(F.countDistinct("ent").alias("shared_entities"))
         .orderBy(F.desc("shared_entities"), F.asc("doc_id"))
@@ -1435,9 +1439,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per iteration on a long chain (the LDA/CC pattern) — at 5 iterations
     the lineage is bounded and Catalyst folds the static side."""
     nodes, edges = _graph_tables(spark, sf_dir)
-    n = nodes.select("node_id")
+    # the two STATIC sides of the recurrence are materialized once (round 8):
+    # without the eager localCheckpoint each of the 5 iterations re-derived
+    # the (edges ⋈ out-degree) table and the node list from parquet — the
+    # before plan carried 5× the contribution subtree (50 Exchange
+    # references); after, each iteration joins against the checkpointed
+    # static side and only the rank chain grows (18 Exchanges)
+    n = nodes.select("node_id").localCheckpoint(eager=True)
     od = edges.groupBy("src").agg(F.count("*").alias("odeg"))
-    ce = edges.select("src", "dst").join(od, "src")
+    ce = edges.select("src", "dst").join(od, "src").localCheckpoint(eager=True)
     ranks = n.withColumn("rank", F.lit(1.0))
     for _ in range(5):
         contribs = (

@@ -304,6 +304,8 @@ def _hybrid(
     qvec: list[float],
     fuzziness: int,
     sem_hits: DataFrame | None = None,
+    carry: tuple[str, ...] = (),
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Candidates = lexical(min_should_match=2) ∪ semantic top-semantic_k;
     per-branch min-max to [0,1] over candidates, arithmetic-mean fusion.
@@ -313,7 +315,21 @@ def _hybrid(
     top-k: the tiny hit set is broadcast-joined in, flagged rows score their
     pre-computed ANN sim, and Catalyst PRUNES the per-row cosine out of the
     scan entirely (sem_score is never referenced) — the 256-d dot product is
-    then evaluated only inside the probed index buckets, not per corpus row."""
+    then evaluated only inside the probed index buckets, not per corpus row.
+
+    The candidate set is MATERIALIZED once (projected to doc_id/lex_b/sem_b
+    + ``carry``, then eager localCheckpoint) before the min-max statistics:
+    the stats aggregate is broadcast back over the candidates, and without
+    the materialization that diamond made Catalyst execute the whole
+    upstream lineage TWICE per query — two full enriched scans + two index
+    probes for pro_search_ann, and the nested diamonds of search_kb /
+    pro_search_enhanced multiplied it to 4× (measured in the round-8 before
+    plans: operators (1)-(11) duplicated as (12)-(25)). Candidates ≤ corpus
+    by construction, so one candidate-sized materialization is never worse
+    than a second corpus pass — and the checkpoint carries only the fusion
+    columns, not the document payload (optimization guide §8: decide on
+    small rows). ``carry`` lets pro_search_enhanced keep the two payload
+    columns its boost/rerank tail needs."""
     s = _with_scores(enriched, terms, qvec, fuzziness)
     lex = F.round(
         F.col("summary_ov") * 2.0
@@ -338,9 +354,14 @@ def _hybrid(
             "_sem_top", F.col("_ann_sim").isNotNull()
         )
         sem_val = F.col("_ann_sim")
-    cand = s.where(F.col("lex_ok") | F.col("_sem_top"))
-    cand = cand.withColumn("lex_b", F.when(F.col("lex_ok"), F.col("lex_score")).otherwise(0.0))
-    cand = cand.withColumn("sem_b", F.when(F.col("_sem_top"), sem_val).otherwise(0.0))
+    cand = s.where(F.col("lex_ok") | F.col("_sem_top")).select(
+        "doc_id",
+        F.when(F.col("lex_ok"), F.col("lex_score")).otherwise(0.0).alias("lex_b"),
+        F.when(F.col("_sem_top"), sem_val).otherwise(0.0).alias("sem_b"),
+        *carry,
+    )
+    if checkpoint:  # False keeps the full lineage for plan tests (the
+        cand = cand.localCheckpoint(eager=True)  # dedup-family pattern)
     # branch min/max as ONE aggregate broadcast back — a partition-less window
     # would single-task the whole candidate set at scale
     stats = cand.agg(
@@ -619,8 +640,13 @@ def ensure_doc_ivf(
       compaction that folded covered and NEVER-covered epochs together is
       refit (the covered rows can't be isolated by partition pruning) — run
       ensure (append) before compacting to keep maintenance at append cost;
-    - anything else (recommitted/removed partitions) → raise: a rewritten
-      corpus invalidates existing assignments and needs an explicit rebuild.
+    - anything else (recommitted/removed partitions) → REFIT over the
+      current corpus: a rewritten corpus invalidates the stored assignments,
+      and the index is derived data, so it is rebuilt in place (the
+      ensure_entity_freq auto-rebuild policy) instead of bricking every
+      ANN-served query behind a manual delete — round-7's bench died 3/3
+      repeats on exactly that raise after a fresh checkout rebuilt the
+      enriched table under a tracked index.
     """
     import shutil
 
@@ -642,19 +668,14 @@ def ensure_doc_ivf(
                 cur.get(k) == v or (k not in cur and k in compacted)
                 for k, v in covers.items()
             )
-            if not intact:
-                raise ValueError(
-                    f"doc-IVF index covers source partitions that were "
-                    f"recommitted or removed in '{source_table}' — a rewritten "
-                    f"corpus invalidates the stored assignments; delete "
-                    f"{DOC_IVF_CENT}/{DOC_IVF_ASSIGN} to rebuild"
-                )
-            state = {
-                k: _coverage_state(k, covers, snaps) for k in cur if k not in covers
-            }
+            state = (
+                {k: _coverage_state(k, covers, snaps) for k in cur if k not in covers}
+                if intact
+                else {}
+            )
             new_keys = sorted(k for k, s in state.items() if s == "none")
             mixed = sorted(k for k, s in state.items() if s == "mixed")
-            if not new_keys and not mixed:
+            if intact and not new_keys and not mixed:
                 # unchanged, or pure compaction of covered content — refresh
                 # covers so the next diff is against the compacted layout
                 if covers != cur:
@@ -665,11 +686,15 @@ def ensure_doc_ivf(
                 fit_rows
                 and total_rows - fit_rows > spec.DOC_IVF_DRIFT_REFIT_FRAC * fit_rows
             )
-            if mixed or drifted:
-                # measured drift beyond the contract, or a compaction that
-                # swallowed never-indexed epochs → full refit over the grown
-                # corpus (delete + rebuild below). Assign table FIRST: a
-                # crash between the two leaves centroids without assignments
+            if not intact or mixed or drifted:
+                # covered partitions recommitted/removed (a rewritten corpus —
+                # the stored assignments describe data that no longer exists;
+                # the index is derived, so REFIT in place instead of bricking
+                # the serving path behind a manual delete), measured drift
+                # beyond the contract, or a compaction that swallowed
+                # never-indexed epochs → full refit over the current corpus
+                # (delete + rebuild below). Assign table FIRST: a crash
+                # between the two leaves centroids without assignments
                 # (rebuilt consistently below), never fresh centroids paired
                 # with a stale corpus's assignments — and rmtree failures
                 # must surface, not leave half an index behind silently.
@@ -764,6 +789,7 @@ def pro_search_ann(
     fuzziness: int = FUZZINESS,
     n_probe: int | None = None,
     source_table: str = "enriched",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """pro_search with the semantic branch served by the MATERIALIZED doc-IVF
     index instead of an exact full-corpus cosine scan (round-3 VERDICT
@@ -781,7 +807,10 @@ def pro_search_ann(
         spark, cat, enriched, qvec, semantic_k, n_probe, source_table=source_table
     )
     return (
-        _hybrid(enriched, semantic_k, terms, qvec, fuzziness, sem_hits=sem_hits)
+        _hybrid(
+            enriched, semantic_k, terms, qvec, fuzziness, sem_hits=sem_hits,
+            checkpoint=checkpoint,
+        )
         .select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
@@ -1115,7 +1144,9 @@ def pro_search_enhanced(
 ) -> DataFrame:
     terms, qvec = _params(query_text)
     semantic_k = max(5 * k, 50)
-    fused = _hybrid(enriched, semantic_k, terms, qvec, fuzziness)
+    fused = _hybrid(
+        enriched, semantic_k, terms, qvec, fuzziness, carry=("content", "embedding")
+    )
     return _enhanced_tail(fused, enriched, terms, qvec, k)
 
 
@@ -1128,6 +1159,7 @@ def pro_search_enhanced_ann(
     fuzziness: int = FUZZINESS,
     n_probe: int | None = None,
     source_table: str = "enriched",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """The reference's FLAGSHIP strategy (main_app.py:42-48 default,
     HNSW-served at search_service.py:259-261) with the semantic branch probing
@@ -1147,7 +1179,10 @@ def pro_search_enhanced_ann(
     )
     ensure_entity_freq(spark, cat, enriched, source_table=source_table)
     exp_terms = _expansion_terms_served(cat, terms, table=_entity_freq_table(source_table))
-    fused = _hybrid(enriched, semantic_k, terms, qvec, fuzziness, sem_hits=sem_hits)
+    fused = _hybrid(
+        enriched, semantic_k, terms, qvec, fuzziness, sem_hits=sem_hits,
+        carry=("content", "embedding"), checkpoint=checkpoint,
+    )
     return _enhanced_tail(fused, enriched, terms, qvec, k, exp_terms=exp_terms)
 
 

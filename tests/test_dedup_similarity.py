@@ -472,8 +472,10 @@ def test_doc_ivf_drift_refit_and_rewrite_guard(spark, tmp_root):
     """Past spec.DOC_IVF_DRIFT_REFIT_FRAC of appended rows the index REFITS
     over the grown corpus instead of stretching the frozen fit (new centroid
     snapshot, params follow the grown corpus, no append partitions); a
-    REWRITTEN covered partition (snapshot change) still raises — appends are
-    the only transparent evolution."""
+    REWRITTEN covered partition (snapshot change) also self-heals with a
+    full refit — round 7's driver bench died 3/3 repeats on the raise this
+    path used to have, after a fresh checkout rebuilt the enriched table
+    (new random snapshot ids) underneath a tracked index."""
     import json
     import os
     import shutil
@@ -509,7 +511,9 @@ def test_doc_ivf_drift_refit_and_rewrite_guard(spark, tmp_root):
     )
     assert cat.get_property(S.DOC_IVF_CENT, "fit_rows") == n_full
 
-    # a REWRITTEN covered partition must still fail fast
+    # a REWRITTEN covered partition self-heals: full refit over the current
+    # corpus, covers refreshed to the live snapshot ids, no append partitions
+    refit_snap = cat.manifest(S.DOC_IVF_CENT)["snapshots"][-1]["snapshot_id"]
     man_path = os.path.join(cat.path("enriched_stream"), "_manifest.json")
     with open(man_path) as f:
         man = json.load(f)
@@ -517,10 +521,16 @@ def test_doc_ivf_drift_refit_and_rewrite_guard(spark, tmp_root):
     man["partitions"][k0]["snapshot_id"] = "deadbeefdeadbeef"
     with open(man_path, "w") as f:
         json.dump(man, f)
-    import pytest
-
-    with pytest.raises(ValueError, match="recommitted or removed"):
-        S.ensure_doc_ivf(spark, cat, enr2, source_table="enriched_stream")
+    assert (
+        S.ensure_doc_ivf(spark, cat, enr2, source_table="enriched_stream") == params
+    )
+    assert cat.manifest(S.DOC_IVF_CENT)["snapshots"][-1]["snapshot_id"] != refit_snap
+    covers = cat.get_property(S.DOC_IVF_CENT, "covers")
+    assert covers[k0] == "deadbeefdeadbeef"
+    assert not any(
+        k.startswith("a") for k in cat.manifest(S.DOC_IVF_ASSIGN)["partitions"]
+    )
+    assert cat.read(spark, S.DOC_IVF_ASSIGN).count() == n_full
 
 
 def test_doc_ivf_survives_compaction_of_covered_epochs(spark, tmp_root):

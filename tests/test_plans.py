@@ -303,13 +303,16 @@ def test_ann_search_plan_prunes_cosine_and_buckets(spark):
     cat = Catalog(ep.out_root(SF_SMALL))
     n_centroids, n_probe = S.ensure_doc_ivf(spark, cat, enr)
     assert n_probe < n_centroids  # the probe must actually prune buckets
-    # expected Python-UDF stages: pro_ann has ZERO (sem_score is pruned from
+    # checkpoint=False keeps the candidate lineage in one inspectable plan
+    # (the shipped default materializes candidates once so the min-max stats
+    # diamond doesn't execute the corpus scan + probe twice — see below).
+    # Expected Python-UDF stages: pro_ann has ZERO (sem_score is pruned from
     # the corpus scan, the probe cosine is the JVM HOF); enhanced_ann has
     # exactly ONE — the rerank cosine applied ABOVE the k*5 TakeOrdered
     for df, n_arrow in (
-        (S.pro_search_ann(spark, cat, enr), 0),
+        (S.pro_search_ann(spark, cat, enr, checkpoint=False), 0),
         (S.advanced_search_ann(spark, cat, enr), 0),
-        (S.pro_search_enhanced_ann(spark, cat, enr), 1),
+        (S.pro_search_enhanced_ann(spark, cat, enr, checkpoint=False), 1),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
@@ -332,6 +335,16 @@ def test_ann_search_plan_prunes_cosine_and_buckets(spark):
             # over the corpus per query (Generate = Spark's explode node)
             assert "Generate" not in plan
         assert df.count() == len(df.take(100)) <= 10
+    # the SHIPPED path materializes candidates once: the final plan reads the
+    # checkpointed candidate rows (no parquet scan of the corpus above the
+    # stats diamond — round 8: the diamond used to re-execute the whole
+    # lineage, two enriched scans + two index probes per query), and the
+    # checkpointed twin returns bit-identical rows
+    df_ck = S.pro_search_ann(spark, cat, enr)
+    plan_ck = df_ck._jdf.queryExecution().executedPlan().toString()
+    assert "enriched" not in plan_ck, "corpus rescan above the candidate ckpt"
+    assert "doc_ivf_assign" not in plan_ck, "probe re-executed above the ckpt"
+    assert df_ck.collect() == S.pro_search_ann(spark, cat, enr, checkpoint=False).collect()
 
 
 def test_entity_freq_per_source_tables_do_not_thrash(spark, tmp_root):
