@@ -147,6 +147,20 @@ class Catalog:
             raise FileNotFoundError(f"table {table} has no partitions and no schema")
         return spark.createDataFrame([], T.StructType.fromJson(json.loads(man["schema"])))
 
+    def _reader(self, spark: SparkSession, table: str, man: dict | None = None):
+        """Base reader for a table: manifest-recorded schema when available
+        (skips the per-read footer inference pass — the schema was pinned at
+        first commit and drift is rejected by commit_partitions, so the
+        recorded one is authoritative), plus the basePath for partition-column
+        recovery."""
+        from pyspark.sql import types as T
+
+        man = self.manifest(table) if man is None else man
+        reader = spark.read.option("basePath", self.path(table))
+        if "schema" in man:
+            reader = reader.schema(T.StructType.fromJson(json.loads(man["schema"])))
+        return reader
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         """Manifest-led read (Iceberg semantics): the partition LIST comes from
         the manifest, not a directory walk, so (a) a crash that published a
@@ -154,13 +168,14 @@ class Catalog:
         pass republishes it, and (b) compaction can swap many partitions for
         one in a single atomic manifest replace with readers never seeing
         doubled rows."""
+        man = self.manifest(table)
         dirs = [
             os.path.join(self.path(table), f"{BUCKET_COL}={k}")
-            for k in sorted(self.manifest(table)["partitions"])
+            for k in sorted(man["partitions"])
         ]
         if not dirs:
             return self._empty(spark, table)
-        return spark.read.option("basePath", self.path(table)).parquet(*dirs)
+        return self._reader(spark, table, man).parquet(*dirs)
 
     def read_arrow(self, table: str):
         """Driver-side pyarrow read of a (small) table's manifest-listed
@@ -195,7 +210,7 @@ class Catalog:
         ]
         if not dirs:  # every probed partition is empty — a valid (rare) miss
             return self._empty(spark, table)
-        return spark.read.option("basePath", self.path(table)).parquet(*dirs)
+        return self._reader(spark, table).parquet(*dirs)
 
     # ------------------------------------------------------------- checkpoint state
     def completed_buckets(self, table: str) -> set[int]:

@@ -1619,7 +1619,29 @@ def _incr_is_new(col: F.Column) -> F.Column:
 MINHASH_STORE_TABLE = "minhash_sigs"
 
 
-def ensure_minhash_store(spark: SparkSession, cat, corpus: DataFrame) -> None:
+def _source_file_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Input-identity string from the source parquet's FILE METADATA
+    (basename:size pairs) — no scan, no Spark job, deterministic for the
+    byte-identical testdata across checkouts and environments. Stronger than
+    the former row-count fingerprint (round-7 ADVICE #1: a content change
+    that preserves cardinality served stale signatures silently; it cannot
+    preserve every file size) and cheaper (the count was a per-query job)."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        sorted(
+            (f, os.path.getsize(os.path.join(p, f)))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(p)
+        else [(os.path.basename(p), os.path.getsize(p))]
+    )
+    return ";".join(f"{n}:{s}" for n, s in files)
+
+
+def ensure_minhash_store(
+    spark: SparkSession, cat, corpus: DataFrame, fingerprint: str | None = None
+) -> None:
     """Materialize (idempotently) the MinHash signature store for the
     accumulated (non-new) corpus — ``doc_id, minhash`` (n_perm longs per
     doc, the ONLY state continuous dedup needs; shingle sets are never
@@ -1627,16 +1649,16 @@ def ensure_minhash_store(spark: SparkSession, cat, corpus: DataFrame) -> None:
     corpus triggers an automatic rebuild (the entity_freq_topk pattern);
     in a streaming deployment new epochs' signatures are APPENDED via the
     same epoch-scoped ``commit_partitions`` keys the doc-IVF assign path
-    uses, so the store grows without rewrites. The fingerprint here is the
-    corpus row count — the right cost point for the static benchmark
-    parquet (a content hash would rescan the corpus per query); a
-    catalog-backed source would pass manifest snapshot lineage instead,
-    exactly like ``ensure_doc_ivf``, and ``dedup_stream`` (whose corpus DOES
-    change) never consults this fingerprint — its store is epoch-scoped."""
+    uses, so the store grows without rewrites. ``fingerprint``: an
+    input-identity string from the caller (file metadata / manifest
+    lineage — see ``_source_file_fingerprint``); when None, falls back to
+    the corpus row count (ad-hoc frames in tests). ``dedup_stream`` (whose
+    corpus DOES change) never consults this fingerprint — its store is
+    epoch-scoped."""
     from .operators.dedup import with_minhash, with_shingles
 
-    n = corpus.count()  # parquet-metadata count: cheap, deterministic
-    stage = f"minhash_store v{spec.SPEC_VERSION} n_perm=16 split=md5p5 fp={n}"
+    fp = fingerprint if fingerprint is not None else corpus.count()
+    stage = f"minhash_store v{spec.SPEC_VERSION} n_perm=16 split=md5p5 fp={fp}"
     if cat.exists(MINHASH_STORE_TABLE):
         prior = {m["stage"] for m in cat.metrics(MINHASH_STORE_TABLE)}
         if not prior or prior == {stage}:
@@ -1694,7 +1716,9 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _dup_corpus(spark, sf_dir)
     cat = Catalog(out_root(sf_dir))
-    ensure_minhash_store(spark, cat, corpus)
+    ensure_minhash_store(
+        spark, cat, corpus, fingerprint=_source_file_fingerprint(sf_dir)
+    )
     old_sigs = cat.read(spark, MINHASH_STORE_TABLE).select("doc_id", "minhash")
     return incremental_minhash_near_dups(
         corpus, _incr_is_new(F.col("doc_id")), old_sigs, jaccard_threshold=0.5
@@ -1754,7 +1778,9 @@ def epoch_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _dup_corpus(spark, sf_dir)
     cat = Catalog(out_root(sf_dir))
-    ensure_minhash_store(spark, cat, corpus)
+    ensure_minhash_store(
+        spark, cat, corpus, fingerprint=_source_file_fingerprint(sf_dir)
+    )
     old_sigs = cat.read(spark, MINHASH_STORE_TABLE).select("doc_id", "minhash")
     pairs = incremental_minhash_near_dups(
         corpus, _incr_is_new(F.col("doc_id")), old_sigs, jaccard_threshold=0.5
@@ -1957,7 +1983,15 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     cat = Catalog(out_root(sf_dir))
     build_ivf_index(spark, e, cat, n_centroids=8, n_iter=2, fit_sample_hex=IVF_FIT_SAMPLE_HEX)
-    qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select("embedding").collect()][0]
+    # the query vector is ONE row of a driver-local parquet: read it with
+    # pyarrow instead of a Spark collect job per call (round 8 — same value,
+    # no job; the probe itself stays distributed)
+    import pyarrow.dataset as pads
+
+    tb = pads.dataset(
+        os.path.join(sf_dir, "embeddings.parquet"), format="parquet"
+    ).to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id") == 0)
+    qvec = [float(x) for x in tb["embedding"][0].as_py()]
     return ivf_topk_indexed(spark, cat, qvec, k=10, n_probe=2)
 
 

@@ -245,6 +245,12 @@ def incremental_pairs(
     ckpt = (lambda d: d.localCheckpoint(eager=True)) if checkpoint else (lambda d: d)
     if new_sigs is None:
         par = new_docs.sparkSession.sparkContext.defaultParallelism
+        # the shingle checkpoint is load-bearing even though the signature
+        # aggregation is its only consumer here: without the materialization
+        # boundary Catalyst collapses the projections and re-inlines the
+        # tokenization into the downstream explode lineage (measured 2.7×
+        # slower in round 8 — the same re-evaluation pathology the
+        # with_shingles docstring documents)
         sh_new = ckpt(
             with_shingles(new_docs.repartition(par, id_col), text_col)
             .select(id_col, "shingles")

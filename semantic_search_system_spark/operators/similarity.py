@@ -188,19 +188,22 @@ def kmeans_centroids(
     d = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
     if fit_sample_hex is not None:
         d = d.where(fit_sample_pred(id_col, fit_sample_hex))
-    # materialize the fit set ONCE before the size probe: the probe ships one
-    # long, and neither the driver collect nor the distributed iterations
-    # re-run the upstream scan+filter (the distributed loop needed the
-    # checkpoint anyway — consumed once per iteration + seeding)
-    d = d.localCheckpoint(eager=True)
-    n_fit = d.limit(max_driver_fit + 1).count()
-    if n_fit == 0:
+    # ONE limit-collect decides the path AND feeds the driver fit (round 8):
+    # the previous eager-checkpoint → count → collect sequence ran three
+    # Spark jobs before any k-means work, and the checkpoint materialized the
+    # fit vectors only to be collected right back off it on the common
+    # (driver-sized) path. The distributed fallback below still checkpoints —
+    # it is the only consumer that re-reads the fit set per iteration.
+    head = d.limit(max_driver_fit + 1).collect()
+    if not head:
         raise ValueError(
             "empty k-means fit set — no vectors matched "
             f"fit_sample_hex={fit_sample_hex!r} (or the vectors table is empty)"
         )
-    if n_fit <= max_driver_fit:
-        return _kmeans_driver(d.collect(), n_centroids, n_iter, id_col)
+    if len(head) <= max_driver_fit:
+        return _kmeans_driver(head, n_centroids, n_iter, id_col)
+    # beyond-driver fit: materialize once for the per-iteration re-reads
+    d = d.localCheckpoint(eager=True)
     cent_rows = [
         (int(r[id_col]), list(r["_v"]))
         for r in d.orderBy(F.asc(id_col)).limit(n_centroids).collect()
