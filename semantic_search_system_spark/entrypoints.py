@@ -1172,6 +1172,10 @@ def topic_model_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split(clean_text_col(F.col("text")), " ").alias("tokens")
     )
+    # consumed twice (CountVectorizer fit + transform) and the EM optimizer
+    # iterates over the transformed corpus — materialize the tokenization
+    # once instead of re-running the clean regex per consumer (round 8)
+    d = d.localCheckpoint(eager=True)
     cv = CountVectorizer(inputCol="tokens", outputCol="tf", vocabSize=1024, minDF=2.0)
     model = cv.fit(d)
     lda = LDA(k=5, seed=42, maxIter=10, optimizer="em", featuresCol="tf")
@@ -2270,7 +2274,16 @@ def decontaminate_vs_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_num"),
         "text",
     )
-    sh = with_shingles(d, "text", n=5).select("doc_id", "id_num", "shingles")
+    # the 5-gram table feeds BOTH branches (holdout vocabulary + corpus
+    # stream); without the materialization boundary each branch re-ran the
+    # full tokenize+shingle pass and Catalyst re-inlined the tokenization
+    # into the explode lineage — measured 11s for this query at sf0.1,
+    # ~1s checkpointed (round 8; the with_shingles docstring pathology)
+    sh = (
+        with_shingles(d, "text", n=5)
+        .select("doc_id", "id_num", "shingles")
+        .localCheckpoint(eager=True)
+    )
     hold = (
         sh.where(F.col("id_num") < 20)
         .select(F.explode("shingles").alias("g"))

@@ -499,15 +499,26 @@ def embedding_near_dups(
         )
         block_col = "_blk"
         dedup_needed = True  # a pair sharing both probed keys joins twice
-    a = d.select(F.col(block_col).alias("blk"), F.col(id_col).alias("src"), F.col("_v").alias("va"))
-    b = d.select(F.col(block_col).alias("blk"), F.col(id_col).alias("dst"), F.col("_v").alias("vb"))
+    # per-VECTOR norm computed once below the join exchange (round 8): the
+    # norm folds used to sit in the post-join cosine expression, so each
+    # vector's 256-element sum re-ran once per PAIR it appeared in — ~2/3 of
+    # the interpreted HOF work for the same values (the fold expression is
+    # unchanged, so the floats are bit-identical)
+    nrm = F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda s, v: s + v * v))
+    d = d.withColumn("_n", nrm)
+    a = d.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("src"),
+        F.col("_v").alias("va"), F.col("_n").alias("na"),
+    )
+    b = d.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("dst"),
+        F.col("_v").alias("vb"), F.col("_n").alias("nb"),
+    )
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-    na = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda s, v: s + v * v))
-    nb = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda s, v: s + v * v))
     out = (
         a.join(b, "blk")
         .where(F.col("src") < F.col("dst"))
-        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("src", "dst", "cosine")
     )

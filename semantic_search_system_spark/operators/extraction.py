@@ -408,23 +408,35 @@ def entities_native(df: DataFrame, content_col: str = "content", k: int = spec.T
 def topics_native(df: DataFrame, content_col: str = "content", k: int = spec.TOP_K_TOPICS) -> DataFrame:
     """Top-k adjacent-bigram topics per doc as pure DataFrame ops.
 
-    Bigrams via tokens ⨝ tokens on position+1 (zip-with-next), stopword-filtered
-    on both sides, then count + window top-k with deterministic tie-break.
-    """
+    Bigrams are zipped IN-ARRAY (token i with token i+1 — exactly the
+    oracle's ``toks[i] || ' ' || toks[i+1]`` formulation), stopword/empty
+    filtered per pair, then one explode → count → window top-k with the
+    deterministic tie-break. Round 8: this replaces a token-stream SELF-JOIN
+    on (doc_id, pos+1) — the posexplode subtree was computed twice and both
+    500k-row sides shuffled into a sort-merge join per call (measured 2.1s
+    warm at sf0.1; 0.8s zipped). Same pairs by construction: adjacency is
+    array position in both forms and the filters are per-side identical."""
     toks = F.split(clean_text_col(F.col(content_col)), " ")
-    both = df.select("doc_id", F.posexplode(toks).alias("pos", "token")).where(F.col("token") != "")
-    a, b = both.alias("a"), both.alias("b")
-    stop = sorted(spec.STOPWORDS)
+    stop = F.array(*[F.lit(s) for s in sorted(spec.STOPWORDS)])
+
+    def ok(t):
+        return (t != "") & ~F.array_contains(stop, t)
+
+    n = F.size(F.col("_toks"))
+    pairs = F.when(
+        n >= 2,
+        F.filter(
+            F.zip_with(
+                F.slice(F.col("_toks"), 1, n - 1),
+                F.slice(F.col("_toks"), 2, n - 1),
+                lambda x, y: F.when(ok(x) & ok(y), F.concat_ws(" ", x, y)),
+            ),
+            lambda p: p.isNotNull(),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     bigrams = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.pos") + 1 == F.col("b.pos")),
-        )
-        .where(~F.col("a.token").isin(*stop) & ~F.col("b.token").isin(*stop))
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.concat_ws(" ", F.col("a.token"), F.col("b.token")).alias("bigram"),
-        )
+        df.withColumn("_toks", toks)
+        .select("doc_id", F.explode(pairs).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("freq"))
     )
