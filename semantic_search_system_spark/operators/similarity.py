@@ -309,13 +309,20 @@ def build_ivf_index(
         cent_rows = kmeans_centroids(
             vectors, n_centroids, n_iter, id_col, vec_col, fit_sample_hex
         )
-        from ..session import local_df
+        from pyspark.sql import types as T
 
-        cent = local_df(spark, cent_rows, "centroid_id long, cvec array<double>")
         _sweep_orphan_assign()
-        cat.commit_partitions(
-            # n_centroids rows — one task, not one per shuffle partition
-            cent.coalesce(1).withColumn("bucket", F.lit(0)),
+        # n_centroids rows living on the driver — committed from the driver
+        # (catalog.commit_partitions_local): zero Spark jobs for the write
+        cat.commit_partitions_local(
+            [(int(cid), [float(x) for x in v], 0) for cid, v in cent_rows],
+            T.StructType(
+                [
+                    T.StructField("centroid_id", T.LongType()),
+                    T.StructField("cvec", T.ArrayType(T.DoubleType())),
+                    T.StructField("bucket", T.IntegerType()),
+                ]
+            ),
             cent_table,
             stage=stage,
         )

@@ -159,8 +159,6 @@ def build_topic_map(
     commit); the distributed plan below remains the fallback for
     beyond-vocabulary scales."""
     if not cat.exists("topic_map"):
-        from ..session import local_df
-
         distinct_phrases = (
             enriched.select(F.explode("topics").alias("t"))
             .select(F.lower(F.trim(F.col("t.text"))).alias("phrase_norm"))
@@ -169,11 +167,25 @@ def build_topic_map(
         )
         head = distinct_phrases.limit(driver_vocab_limit + 1).collect()
         if len(head) <= driver_vocab_limit:
+            from pyspark.sql import types as T
+
             pdf = topic_map_driver([r["phrase_norm"] for r in head])
-            labeled = local_df(
-                spark, list(pdf.itertuples(index=False, name=None)),
-                "phrase_norm string, broad_topic string",
+            # the table was computed ON the driver — commit it from the
+            # driver (zero Spark jobs; round 8): one bucket by the same
+            # pmod(xxhash,1)=0 rule with_bucket applies for n_buckets=1
+            cat.commit_partitions_local(
+                [(p, b, 0) for p, b in pdf.itertuples(index=False, name=None)],
+                T.StructType(
+                    [
+                        T.StructField("phrase_norm", T.StringType()),
+                        T.StructField("broad_topic", T.StringType()),
+                        T.StructField(BUCKET_COL, T.IntegerType()),
+                    ]
+                ),
+                "topic_map",
+                stage="canonicalize",
             )
+            return cat.read(spark, "topic_map")
         else:
             phrases = distinct_phrases.withColumn(
                 "embedding", embed_udf(F.col("phrase_norm"))
