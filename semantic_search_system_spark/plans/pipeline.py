@@ -22,6 +22,8 @@ Stages (each a Catalog table under <out_root>):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -144,6 +146,49 @@ def topic_map_driver(phrase_list: list[str]) -> pd.DataFrame:
 
 
 DRIVER_VOCAB_LIMIT = 100_000
+# byte gate for the driver-side vocabulary scan below: a column-pruned local
+# pyarrow read of `topics` is ~30x faster than a 3-stage Spark
+# explode+distinct at benchmark scale, but it reads on ONE machine — so it is
+# allowed only when the MEASURED source bytes are driver-trivial; past the
+# gate the distributed distinct (whose cost is what a real cluster would pay)
+# takes over
+DRIVER_VOCAB_SCAN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_DRIVER_VOCAB_SCAN_BYTES", str(256 * 1024 * 1024))
+)
+
+
+def _phrase_vocab_driver(enriched: DataFrame, limit: int) -> list[str] | None:
+    """The distinct normalized topic phrases via a column-pruned DRIVER
+    pyarrow read — only when ``enriched`` is a BARE parquet relation (no
+    filters/projections that a local re-read would silently ignore) whose
+    total file bytes are under ``DRIVER_VOCAB_SCAN_BYTES``. Returns None
+    whenever any guard fails → the caller runs the distributed distinct.
+    Semantics match the Spark branch exactly: lower → trim(' ') → drop
+    null/empty → distinct."""
+    try:
+        plan = enriched._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        files = enriched.inputFiles()
+    except Exception:  # noqa: BLE001 — any introspection failure → fallback
+        return None
+    if not files:
+        return None
+    paths = [f[5:] if f.startswith("file:") else f for f in files]
+    if any(not os.path.exists(p) for p in paths):
+        return None
+    if sum(os.path.getsize(p) for p in paths) > DRIVER_VOCAB_SCAN_BYTES:
+        return None
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    tb = pads.dataset(paths, format="parquet").to_table(columns=["topics"])
+    texts = pc.struct_field(pc.list_flatten(tb["topics"].combine_chunks()), "text")
+    texts = pc.utf8_trim(pc.utf8_lower(texts.drop_null()), characters=" ")
+    vocab = [t for t in pc.unique(texts).to_pylist() if t]
+    if len(vocab) > limit:
+        return None  # beyond the driver canonicalization bound — distribute
+    return vocab
 
 
 def build_topic_map(
@@ -159,17 +204,21 @@ def build_topic_map(
     commit); the distributed plan below remains the fallback for
     beyond-vocabulary scales."""
     if not cat.exists("topic_map"):
-        distinct_phrases = (
-            enriched.select(F.explode("topics").alias("t"))
-            .select(F.lower(F.trim(F.col("t.text"))).alias("phrase_norm"))
-            .where(F.col("phrase_norm") != "")
-            .distinct()
-        )
-        head = distinct_phrases.limit(driver_vocab_limit + 1).collect()
-        if len(head) <= driver_vocab_limit:
+        vocab = _phrase_vocab_driver(enriched, driver_vocab_limit)
+        if vocab is None:
+            distinct_phrases = (
+                enriched.select(F.explode("topics").alias("t"))
+                .select(F.lower(F.trim(F.col("t.text"))).alias("phrase_norm"))
+                .where(F.col("phrase_norm") != "")
+                .distinct()
+            )
+            head = distinct_phrases.limit(driver_vocab_limit + 1).collect()
+            if len(head) <= driver_vocab_limit:
+                vocab = [r["phrase_norm"] for r in head]
+        if vocab is not None:
             from pyspark.sql import types as T
 
-            pdf = topic_map_driver([r["phrase_norm"] for r in head])
+            pdf = topic_map_driver(vocab)
             # the table was computed ON the driver — commit it from the
             # driver (zero Spark jobs; round 8): one bucket by the same
             # pmod(xxhash,1)=0 rule with_bucket applies for n_buckets=1
