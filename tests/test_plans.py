@@ -172,7 +172,12 @@ def test_incremental_dedup_reads_signature_store(spark):
 
     corpus = ep._dup_corpus(spark, SF_MED)
     cat = Catalog(ep.out_root(SF_MED))
-    ep.ensure_minhash_store(spark, cat, corpus)
+    # the registry fingerprint, NOT the count fallback: this ensure targets
+    # the shared registry store, and a different stage string would rebuild
+    # the committed table on every test run (round 8)
+    ep.ensure_minhash_store(
+        spark, cat, corpus, fingerprint=ep._source_file_fingerprint(SF_MED)
+    )
     old_sigs = cat.read(spark, ep.MINHASH_STORE_TABLE).select("doc_id", "minhash")
     df = incremental_minhash_near_dups(
         corpus, ep._incr_is_new(F.col("doc_id")), old_sigs, checkpoint=False
